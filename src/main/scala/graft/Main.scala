@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.images.ImageGen
+import graft.jobs._
+import graft.table._
+
+/**
+ * spark-submit CLI (SURVEY.md §3.3 restatement of the reference's MCP/CLI
+ * delegation surface, packages/cli/src/program.ts): one verb per maintenance
+ * job plus gen/stats/scan/snapshots for driving and inspection.
+ *
+ *   spark-submit --class graft.Main flowragspark.jar <verb> --root DIR [args]
+ */
+object Main {
+  private def arg(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+  private def req(args: Array[String], name: String): String =
+    arg(args, name).getOrElse(sys.error(s"missing --$name"))
+
+  def main(argv: Array[String]): Unit = {
+    if (argv.isEmpty) {
+      System.err.println(
+        "verbs: gen | stats | snapshots | scan | compact | cluster | rewrite-manifests | expire | merge-demo | dedup | transcode")
+      sys.exit(2)
+    }
+    val verb = argv.head
+    val args = argv.tail
+    val spark: SparkSession =
+      if (sys.env.contains("SPARK_GRAFT_CPUS") || SparkSession.getActiveSession.isEmpty)
+        GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+      else SparkSession.active
+    try {
+      val root = req(args, "root")
+      verb match {
+        case "gen" =>
+          val rows = arg(args, "rows").map(_.toLong).getOrElse(1000L)
+          val files = arg(args, "files").map(_.toInt).getOrElse(100)
+          val seed = arg(args, "seed").map(_.toLong).getOrElse(42L)
+          val t = if (MetaIO.currentVersion(root).isDefined) GraftTable.load(root, spark)
+                  else GraftTable.create(root, spark)
+          val snap = GraftTable.append(t, ImageGen.df(spark, rows, seed, files))
+          println(s"appended snapshot=${snap.snapshotId} rows=$rows files=${snap.summary("added-files")} bytes=${snap.summary("added-bytes")}")
+        case "stats" =>
+          val t = GraftTable.load(root, spark)
+          val s = t.currentSnapshot
+          val fs = t.currentFiles
+          println(s"snapshot=${s.snapshotId} op=${s.operation} files=${fs.size} rows=${fs.map(_.rowCount).sum} bytes=${fs.map(_.fileSizeBytes).sum}")
+          Compact.sizeHistogram(t).foreach { case (b, n, bytes) =>
+            println(f"  size<=${2 * b}%10d: $n%5d files, $bytes%12d bytes") }
+        case "snapshots" =>
+          val t = GraftTable.load(root, spark)
+          t.meta.snapshots.foreach(s => println(
+            s"snapshot=${s.snapshotId} parent=${s.parentId.getOrElse(-1)} op=${s.operation} manifests=${s.manifests.size} summary=${s.summary}"))
+        case "scan" =>
+          val t = GraftTable.load(root, spark)
+          val snapId = arg(args, "snapshot").map(_.toLong)
+          val filters = Seq(
+            arg(args, "fmt").map(EqString("fmt", _)),
+            arg(args, "phash-min").map(v => GeLong("phash", v.toLong)),
+            arg(args, "phash-max").map(v => LeLong("phash", v.toLong)),
+            arg(args, "w-min").map(v => GeLong("w", v.toLong))).flatten
+          val pruned = t.planFiles(filters).size
+          val df = t.scanWhere(filters, snapId)
+          val n = df.count()
+          println(s"scan rows=$n prunedFiles=$pruned/${t.currentFiles.size}")
+          if (arg(args, "show").isDefined)
+            df.selectExpr("image_id", "w", "h", "fmt", "substring(caption,1,40) as caption", "phash")
+              .show(20, truncate = false)
+        case "compact" =>
+          val t = GraftTable.load(root, spark)
+          val target = arg(args, "target").map(_.toLong).getOrElse(8L * 1024 * 1024)
+          val failAfter = arg(args, "fail-after").map(_.toInt)
+          val r = Compact.run(t, target, failAfterUnits = failAfter)
+          println(s"compact snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} bins=${r.binsPlanned} executed=${r.binsExecuted} resumed=${r.binsResumed} filesIn=${r.filesIn} filesOut=${r.filesOut} bytesIn=${r.bytesIn} bytesOut=${r.bytesOut}")
+        case "cluster" =>
+          val t = GraftTable.load(root, spark)
+          val r = Cluster.run(t, arg(args, "curve").getOrElse("zorder"),
+            arg(args, "mode").getOrElse("global"),
+            arg(args, "target").map(_.toLong).getOrElse(8L * 1024 * 1024))
+          println(s"cluster snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} curve=${r.curve} mode=${r.mode} filesIn=${r.filesIn} filesOut=${r.filesOut} rows=${r.rows}")
+        case "rewrite-manifests" =>
+          val t = GraftTable.load(root, spark)
+          val r = RewriteManifests.run(t,
+            arg(args, "per-manifest").map(_.toInt).getOrElse(1000))
+          println(s"rewrite-manifests snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} skipped=${r.skippedUnchanged} before=${r.manifestsBefore} after=${r.manifestsAfter}")
+        case "expire" =>
+          val t = GraftTable.load(root, spark)
+          val retain = req(args, "retain").split(",").map(_.trim.toLong).toSeq
+          val r = ExpireSnapshots.run(t, retain)
+          println(s"expire retained=${r.retainedSnapshots.mkString(",")} expired=${r.expiredSnapshots.mkString(",")} deletedFiles=${r.deletedDataFiles} deletedBytes=${r.deletedBytes} orphans=${r.orphansSwept}")
+        case "dedup" =>
+          val t = GraftTable.load(root, spark)
+          val r = DedupPhash.run(t, arg(args, "hamming").map(_.toInt).getOrElse(0))
+          println(s"dedup snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} mode=${r.mode} groups=${r.dupGroups} victims=${r.victims} rewrittenFiles=${r.rewrittenFiles}")
+        case "transcode" =>
+          val t = GraftTable.load(root, spark)
+          val r = Transcode.run(t, arg(args, "from").getOrElse("png"),
+            arg(args, "to").getOrElse("jpg"))
+          println(s"transcode snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} rows=${r.transcodedRows} files=${r.files}")
+        case "merge-demo" =>
+          // Upsert demo: fix captions of 10 rows, insert 5 new rows.
+          import org.apache.spark.sql.functions._
+          val t = GraftTable.load(root, spark)
+          import spark.implicits._
+          val fixes = (0 until 10).map(i => (f"img-$i%012d", s"corrected caption $i"))
+            .toDF("image_id", "caption")
+          val r = MergeInto.run(t, fixes)
+          println(s"merge snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} matched=${r.matchedRows} updatedFiles=${r.updatedFiles} inserted=${r.insertedRows} strategy=${r.strategy}")
+        case other =>
+          System.err.println(s"unknown verb: $other"); sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+}

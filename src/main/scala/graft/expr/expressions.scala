@@ -1,0 +1,126 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/**
+ * Custom Catalyst expressions for the engine (SURVEY.md §7.1 expr/):
+ * PHash64, ZOrder64, HilbertIndex64, Psnr, DecodeWH. Scalar, deterministic,
+ * codegen'd via static calls into [[Curves]] / [[graft.images.ImageCodec]]
+ * so they stay inside whole-stage codegen (no UDF serialization overhead).
+ *
+ * Re-grounds the reference's Embedder extension point
+ * (core/src/interfaces/embedder.ts:6-12): bytes -> deterministic signature.
+ */
+
+/** 64-bit average-hash of an encoded image (BinaryType -> LongType). */
+case class PHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    graft.images.ImageCodec.phash(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.images.ImageCodec.phash($b)")
+  override protected def withNewChildInternal(c: Expression): PHash64 = copy(c)
+}
+
+/** Z-order interleave of 3 long dims, 21 bits each (LongType^3 -> LongType). */
+case class ZOrder64(a: Expression, b: Expression, c: Expression)
+    extends TernaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = c
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    Curves.zorder3(x.asInstanceOf[Long], y.asInstanceOf[Long], z.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, z) => s"graft.expr.Curves.zorder3($x, $y, $z)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ZOrder64 = copy(f, s, t)
+}
+
+/** Hilbert index of 3 long dims, 21 bits each (LongType^3 -> LongType). */
+case class HilbertIndex64(a: Expression, b: Expression, c: Expression)
+    extends TernaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = c
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    Curves.hilbert3(x.asInstanceOf[Long], y.asInstanceOf[Long], z.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, z) => s"graft.expr.Curves.hilbert3($x, $y, $z)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HilbertIndex64 = copy(f, s, t)
+}
+
+/** PSNR (dB) between two encoded images (BinaryType^2 -> DoubleType).
+  * Infinity is clamped to 999.0 for SQL-friendliness. */
+case class Psnr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = graft.images.ImageCodec.psnrBytes(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    if (v.isInfinite) 999.0 else v
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprOps.psnrClamped($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Psnr =
+    copy(l, r)
+}
+
+/** Decoded dimensions of an encoded image (BinaryType -> STRUCT<w INT, h INT>). */
+case class DecodeWH(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    StructType(Seq(StructField("w", IntegerType), StructField("h", IntegerType)))
+  override def nullSafeEval(v: Any): Any = {
+    val img = graft.images.ImageCodec.decode(v.asInstanceOf[Array[Byte]])
+    org.apache.spark.sql.catalyst.InternalRow(img.getWidth, img.getHeight)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.ExprOps.decodeWH($b)")
+  override protected def withNewChildInternal(c: Expression): DecodeWH = copy(c)
+}
+
+/** Static helpers referenced from generated code. */
+object ExprOps {
+  def psnrClamped(a: Array[Byte], b: Array[Byte]): Double = {
+    val v = graft.images.ImageCodec.psnrBytes(a, b)
+    if (v.isInfinite) 999.0 else v
+  }
+  def decodeWH(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val img = graft.images.ImageCodec.decode(b)
+    org.apache.spark.sql.catalyst.InternalRow(img.getWidth, img.getHeight)
+  }
+}
+
+/** Column-level API for the engine's expressions. */
+object functions {
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def e(col: Column): Expression = Bridge.expression(col)
+
+  def phash64(bytes: Column): Column = c(PHash64(e(bytes)))
+  def zorder3(a: Column, b: Column, cc: Column): Column =
+    c(ZOrder64(e(a), e(b), e(cc)))
+  def hilbert3(a: Column, b: Column, cc: Column): Column =
+    c(HilbertIndex64(e(a), e(b), e(cc)))
+  def psnr(a: Column, b: Column): Column = c(Psnr(e(a), e(b)))
+  def decode_wh(bytes: Column): Column = c(DecodeWH(e(bytes)))
+
+  /** Hamming distance between two phash values — composed from built-ins
+    * (stays fully codegen'd). */
+  def hamming(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
+
+  /** The engine's standard cluster key over (phash, w, h): unsigned-order
+    * top-21-bits of phash interleaved with w, h. */
+  def clusterKeyZ(phash: Column, w: Column, h: Column): Column =
+    zorder3(org.apache.spark.sql.functions.shiftrightunsigned(phash, 43),
+      w.cast(LongType), h.cast(LongType))
+
+  def clusterKeyHilbert(phash: Column, w: Column, h: Column): Column =
+    hilbert3(org.apache.spark.sql.functions.shiftrightunsigned(phash, 43),
+      w.cast(LongType), h.cast(LongType))
+}

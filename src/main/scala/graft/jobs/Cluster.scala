@@ -1,0 +1,124 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.{functions => gf}
+import graft.lineage.{Lineage, UnitLineage}
+import graft.table.{DataFileMeta, GraftTable, Snapshot}
+
+/**
+ * Multi-dimensional clustering: rewrite data files in space-filling-curve
+ * order over (phash, w, h), computed by the ZOrder64 / HilbertIndex64
+ * Catalyst expressions. Per-file curve-correlated min/max stats then make the
+ * manifest a batch "index" — the engine's replacement for the reference's
+ * secondary/ANN indexes (sqlite-graph-storage.ts:79-85,
+ * redis/vector-storage.ts:31-46; SURVEY.md O3/O4).
+ *
+ * Scale design, two modes:
+ *  - `global` (default): one repartitionByRange over the curve key — a single
+ *    full shuffle that range-partitions the table globally (sampled
+ *    boundaries), each output file a tight, non-overlapping curve range.
+ *    Best pruning quality; shuffle volume = table size, the unavoidable cost
+ *    of a first-time layout change.
+ *  - `groups`: FFD-packed input-file groups sorted independently (like
+ *    Iceberg's sort rewrite): no global shuffle, unit-level resume via
+ *    lineage, slightly overlapping ranges across groups. The right mode for
+ *    incrementally clustering newly-appended files at 10^12-row scale.
+ */
+object Cluster {
+
+  case class Result(
+      snapshot: Option[Snapshot],
+      jobId: String,
+      mode: String,
+      curve: String,
+      filesIn: Int,
+      filesOut: Int,
+      bytesIn: Long,
+      rows: Long)
+
+  private def curveCol(curve: String) = curve match {
+    case "zorder" => gf.clusterKeyZ(col("phash"), col("w"), col("h"))
+    case "hilbert" => gf.clusterKeyHilbert(col("phash"), col("w"), col("h"))
+    case other => throw new IllegalArgumentException(s"unknown curve: $other")
+  }
+
+  def run(t: GraftTable,
+      curve: String = "zorder",
+      mode: String = "global",
+      targetBytes: Long = 8L * 1024 * 1024,
+      maxConcurrentGroups: Int = 8): Result = {
+    val base = t.currentSnapshot
+    val files = t.snapshotFiles(base)
+    if (files.isEmpty) return Result(None, "", mode, curve, 0, 0, 0, 0)
+    val bytesIn = files.map(_.fileSizeBytes).sum
+    val jid = Compact.jobId(s"cluster-$mode-$curve", base.snapshotId,
+      targetBytes.toString, files.map(_.path))
+    Lineage.committedSnapshot(t.root, jid).foreach { sid =>
+      return Result(t.meta.snapshot(sid), jid, mode, curve, files.size, 0, bytesIn, 0)
+    }
+
+    val added: Seq[DataFileMeta] = mode match {
+      case "global" =>
+        val numFiles = math.max(1, math.ceil(bytesIn.toDouble / targetBytes).toInt)
+        val t0 = System.nanoTime()
+        val df = t.scan(Some(base.snapshotId)).withColumn("__ck", curveCol(curve))
+        val out = t.writeDataFiles(
+          df.repartitionByRange(numFiles, col("__ck"))
+            .sortWithinPartitions(col("__ck"))
+            .drop("__ck"))
+        Lineage.commitUnit(t.root, UnitLineage(jid, 0, files.map(_.path), out,
+          out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum,
+          (System.nanoTime() - t0) / 1000000))
+        out
+      case "groups" =>
+        // Pack input files into ~4x-target groups; each group is an
+        // independently sorted, independently resumable unit.
+        val groups = packGroups(files, targetBytes * 4)
+        val already = Lineage.committedUnits(t.root, jid)
+        import java.util.concurrent.Executors
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrentGroups))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val fs = groups.indices.filterNot(already.contains).map { gi =>
+            Future {
+              val g = groups(gi)
+              val t0 = System.nanoTime()
+              val n = math.max(1, math.ceil(g.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
+              val df = t.spark.read.schema(t.schema).parquet(g.map(_.absPath(t.root)): _*)
+                .withColumn("__ck", curveCol(curve))
+              val out = t.writeDataFiles(
+                df.repartitionByRange(n, col("__ck"))
+                  .sortWithinPartitions(col("__ck")).drop("__ck"))
+              Lineage.commitUnit(t.root, UnitLineage(jid, gi, g.map(_.path), out,
+                out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum,
+                (System.nanoTime() - t0) / 1000000))
+            }
+          }
+          Await.result(Future.sequence(fs), Duration.Inf)
+        } finally pool.shutdown()
+        Lineage.committedUnits(t.root, jid).values.flatMap(_.filesOut).toSeq.sortBy(_.path)
+      case other => throw new IllegalArgumentException(s"unknown mode: $other")
+    }
+
+    val snap = t.commit("cluster", added, files.map(_.path).toSet, Map(
+      "job-id" -> jid, "curve" -> curve, "mode" -> mode))
+    Lineage.markCommitted(t.root, jid, snap.snapshotId)
+    Result(Some(snap), jid, mode, curve, files.size, added.size, bytesIn,
+      added.map(_.rowCount).sum)
+  }
+
+  /** Greedy size-ordered grouping (first-fit) of files into rewrite groups. */
+  def packGroups(files: Seq[DataFileMeta], capacity: Long): Seq[Seq[DataFileMeta]] = {
+    val sorted = files.sortBy(f => (-f.fileSizeBytes, f.path))
+    val out = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[DataFileMeta], Long)]()
+    for (f <- sorted) {
+      val i = out.indexWhere { case (_, used) => used + f.fileSizeBytes <= capacity }
+      if (i >= 0) { val (b, u) = out(i); b += f; out(i) = (b, u + f.fileSizeBytes) }
+      else out += ((scala.collection.mutable.ArrayBuffer(f), f.fileSizeBytes))
+    }
+    out.map(_._1.toSeq).toSeq
+  }
+}

@@ -1,0 +1,134 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+import graft.expr.{functions => gf}
+import graft.table.{DataFileMeta, GraftTable, Snapshot}
+
+/**
+ * MERGE INTO: upsert a source of (image_id, caption?, bytes?) changes into
+ * the table as a copy-on-write file rewrite. Matched rows take the source's
+ * non-null columns (bytes replacement recomputes w/h/phash via the engine's
+ * expressions); unmatched source rows are inserted.
+ *
+ * Conflict semantics carried from the reference's mergeEntities
+ * (createFlowRAG.ts:51-119): natural-key upsert (image_id, analog of
+ * entity-id-by-name, indexing/pipeline.ts:184), last-write-wins per column,
+ * natural-key dedup of the source (dropDuplicates, J5), self-merge skips.
+ *
+ * Scale design:
+ *  - Affected-file discovery is a projection-only scan (image_id +
+ *    input_file_name) joined to source keys: only FILE PATHS reach the
+ *    driver.
+ *  - Join strategy: source below `broadcastThreshold` -> broadcast hash join
+ *    (zero shuffle of the big side). Larger sources -> sort-merge join with
+ *    AQE skew-split enabled; because image_id is the unique natural key the
+ *    SMJ is well-distributed, and hot phash buckets only arise in the dedup
+ *    variant ([[DedupPhash]]) where explicit salting is applied.
+ *  - Only matched files are rewritten (COW); untouched files are carried by
+ *    manifest reuse.
+ */
+object MergeInto {
+
+  case class Result(
+      snapshot: Option[Snapshot],
+      matchedRows: Long,
+      updatedFiles: Int,
+      insertedRows: Long,
+      rewrittenBytes: Long,
+      strategy: String)
+
+  /** `source` columns: image_id (required), caption/bytes nullable; absent
+    * columns are treated as all-null (keep target values). */
+  def run(t: GraftTable, source0: DataFrame,
+      broadcastThresholdBytes: Long = 64L * 1024 * 1024,
+      targetBytes: Long = 8L * 1024 * 1024): Result = {
+    val spark = t.spark
+    val base = t.currentSnapshot
+    val files = t.snapshotFiles(base)
+
+    // Normalize source: ensure caption/bytes columns exist; natural-key dedup
+    // (reference J5: dropDuplicates on natural keys; last wins is arbitrary
+    // but deterministic via max_by on caption length then caption).
+    var src = source0
+    if (!src.columns.contains("caption")) src = src.withColumn("caption", lit(null).cast("string"))
+    if (!src.columns.contains("bytes")) src = src.withColumn("bytes", lit(null).cast("binary"))
+    src = src.select(col("image_id"), col("caption").as("src_caption"),
+        col("bytes").as("src_bytes"))
+      .groupBy(col("image_id"))
+      .agg(max_by(struct(col("src_caption"), col("src_bytes")),
+        struct(length(col("src_caption")), col("src_caption"))).as("s"))
+      .select(col("image_id"), col("s.src_caption"), col("s.src_bytes"))
+
+    // Rough source size estimate to pick the join strategy.
+    val srcCount = src.count()
+    val estBytes = srcCount * 256L // keys+captions; bytes column estimated separately
+    val useBroadcast = estBytes <= broadcastThresholdBytes
+    val strategy = if (useBroadcast) "broadcast" else "sort-merge+aqe-skew"
+    val srcKeyed = if (useBroadcast) broadcast(src) else src
+
+    // 1. Affected files: projection-only scan — Parquet reads just image_id.
+    val scanWithFile = t.scan(Some(base.snapshotId))
+      .select(col("image_id"), input_file_name().as("__file"))
+    val affectedUris = scanWithFile
+      .join(srcKeyed.select("image_id"), Seq("image_id"), "left_semi")
+      .select("__file").distinct().collect().map(_.getString(0)).toSet
+    val rootAbs = java.nio.file.Paths.get(t.root).toAbsolutePath
+    def toRel(uri: String): String = {
+      val p = java.nio.file.Paths.get(java.net.URI.create(
+        if (uri.startsWith("file:")) uri else s"file:$uri"))
+      rootAbs.relativize(p.toAbsolutePath).toString
+    }
+    val affectedRel = affectedUris.map(toRel)
+    val affected = files.filter(f => affectedRel.contains(f.path))
+
+    // 2. Rewrite matched files with source columns folded in.
+    val updatedFilesMeta: Seq[DataFileMeta] =
+      if (affected.isEmpty) Nil
+      else {
+        val tgt = spark.read.schema(t.schema).parquet(affected.map(_.absPath(t.root)): _*)
+        val joined = tgt.join(srcKeyed, Seq("image_id"), "left_outer")
+          .withColumn("__wh", when(col("src_bytes").isNotNull,
+            gf.decode_wh(col("src_bytes"))))
+        val rewritten = joined.select(
+          col("image_id"),
+          coalesce(col("src_bytes"), col("bytes")).as("bytes"),
+          coalesce(col("__wh.w"), col("w")).as("w"),
+          coalesce(col("__wh.h"), col("h")).as("h"),
+          col("fmt"),
+          coalesce(col("src_caption"), col("caption")).as("caption"),
+          when(col("src_bytes").isNotNull, gf.phash64(col("src_bytes"))).otherwise(col("phash")).as("phash"))
+        t.writeDataFiles(rewritten,
+          targetFiles = Some(math.max(1, math.ceil(
+            affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
+      }
+
+    // 3. Inserts: source keys not in the target at all (left-anti on the
+    // pruned key scan — anti-join U3).
+    val tgtKeys = t.scan(Some(base.snapshotId)).select("image_id")
+    val inserts = src.join(tgtKeys, Seq("image_id"), "left_anti")
+      .filter(col("src_bytes").isNotNull) // an insert needs a payload
+      .withColumn("__wh", gf.decode_wh(col("src_bytes")))
+      .select(
+        col("image_id"),
+        col("src_bytes").as("bytes"),
+        col("__wh.w").as("w"),
+        col("__wh.h").as("h"),
+        lit("png").as("fmt"),
+        coalesce(col("src_caption"), lit("")).as("caption"),
+        gf.phash64(col("src_bytes")).as("phash"))
+    val insertFiles =
+      if (inserts.isEmpty) Nil else t.writeDataFiles(inserts.coalesce(1))
+    val insertedRows = insertFiles.map(_.rowCount).sum
+
+    if (affected.isEmpty && insertFiles.isEmpty)
+      return Result(None, 0, 0, 0, 0, strategy)
+
+    val snap = t.commit("merge", updatedFilesMeta ++ insertFiles,
+      affected.map(_.path).toSet,
+      Map("strategy" -> strategy, "source-rows" -> srcCount.toString))
+    Result(Some(snap), srcCount - insertedRows, affected.size, insertedRows,
+      affected.map(_.fileSizeBytes).sum, strategy)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.jobs
+
+import graft.table.{DataFileMeta, GraftTable, ManifestData, MetaIO, Snapshot}
+import java.util.UUID
+
+/**
+ * Manifest rewrite: consolidate the current snapshot's manifests into
+ * size-balanced manifests with complete per-file min/max stats, ordered by
+ * each file's phash lower bound so that stat-based pruning touches few
+ * manifests for a phash-range query.
+ *
+ * Re-grounds the reference's metadata-file rewrite with config-hash change
+ * detection (mcp/src/metadata.ts:29-40,72-113): recomputation is gated on a
+ * content hash of the current manifest organization, so an unchanged table is
+ * a no-op (I1 skip-unchanged).
+ */
+object RewriteManifests {
+
+  case class Result(
+      snapshot: Option[Snapshot],
+      skippedUnchanged: Boolean,
+      manifestsBefore: Int,
+      manifestsAfter: Int,
+      files: Int,
+      statsRecomputed: Int)
+
+  def run(t: GraftTable, targetFilesPerManifest: Int = 1000,
+      recomputeStats: Boolean = false): Result = {
+    val base = t.currentSnapshot
+    val files0 = t.snapshotFiles(base)
+    val before = base.manifests.size
+
+    // Skip-unchanged gate: already exactly one pass of well-sized manifests
+    // sorted by phash min produced by this job (marker in summary).
+    if (base.operation == "rewrite-manifests" &&
+        base.summary.get("manifest-layout").contains(layoutHash(base.manifests)))
+      return Result(None, skippedUnchanged = true, before, before, files0.size, 0)
+
+    // Optionally recompute stats by re-scanning stats columns (used when
+    // files were produced by a writer without stats).
+    var recomputed = 0
+    val files =
+      if (recomputeStats) {
+        val byDir = files0.groupBy(f => f.path.substring(0, f.path.lastIndexOf('/')))
+        byDir.flatMap { case (dir, fs) =>
+          val fresh = t.collectStats(dir).map(f => f.path -> f).toMap
+          fs.map { f => fresh.get(f.path).map { nf => recomputed += 1; nf }.getOrElse(f) }
+        }.toSeq
+      } else files0
+
+    val sorted = files.sortBy(f =>
+      (f.stats.get("phash").flatMap(_.min).map(_.toLong).getOrElse(Long.MinValue), f.path))
+    val groups = sorted.grouped(math.max(1, targetFilesPerManifest)).toSeq
+    val names = groups.map { g =>
+      val nn = s"manifest-${UUID.randomUUID().toString.take(12)}.json"
+      MetaIO.writeManifest(t.root, nn, ManifestData(g))
+      nn
+    }
+
+    // Commit a snapshot with the SAME files, new manifest organization.
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (v, m) = MetaIO.load(t.root).get
+      val parent = m.currentSnapshot.get
+      val snap = Snapshot(m.nextSnapshotId, Some(parent.snapshotId),
+        System.currentTimeMillis(), "rewrite-manifests", names,
+        Map("manifest-layout" -> layoutHash(names),
+          "manifests-before" -> before.toString,
+          "manifests-after" -> names.size.toString))
+      val nm = m.copy(currentSnapshotId = Some(snap.snapshotId),
+        snapshots = m.snapshots :+ snap)
+      if (MetaIO.tryCommit(t.root, v, nm))
+        return Result(Some(snap), skippedUnchanged = false, before, names.size,
+          files.size, recomputed)
+      if (attempts > 20) throw new IllegalStateException("rewrite-manifests: CAS contention")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def layoutHash(names: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    names.foreach(n => md.update(n.getBytes))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+}

@@ -1,0 +1,250 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * File-level prune predicates evaluated against per-file min/max stats in the
+ * manifests, before any Parquet is opened. Spark-side analog of the
+ * reference's pushed-down LanceDB metadata filter
+ * (storage-lancedb/src/lancedb-vector-storage.ts:100-112) versus the SQLite
+ * post-filter (sqlite-vector-storage.ts:77-83): we prune at plan-construction
+ * time, then let Catalyst + Parquet row-group pruning handle the rest.
+ */
+sealed trait PruneFilter { def col: String }
+case class EqString(col: String, v: String) extends PruneFilter
+case class EqLong(col: String, v: Long) extends PruneFilter
+case class RangeLong(col: String, lo: Long, hi: Long) extends PruneFilter
+case class GeLong(col: String, lo: Long) extends PruneFilter
+case class LeLong(col: String, hi: Long) extends PruneFilter
+
+object PruneFilter {
+  /** Residual row-level Column for a prune filter (applied on the scan). */
+  def toColumn(f: PruneFilter): Column = f match {
+    case EqString(c, v)     => col(c) === lit(v)
+    case EqLong(c, v)       => col(c) === lit(v)
+    case RangeLong(c, l, h) => col(c) >= lit(l) && col(c) <= lit(h)
+    case GeLong(c, l)       => col(c) >= lit(l)
+    case LeLong(c, h)       => col(c) <= lit(h)
+  }
+
+  /** Can `file` possibly contain rows matching `f`? Missing stats => keep. */
+  def mayMatch(file: DataFileMeta, f: PruneFilter): Boolean = {
+    val st = file.stats.get(f.col)
+    st match {
+      case None => true
+      case Some(s) =>
+        (s.min, s.max) match {
+          case (Some(mn), Some(mx)) =>
+            f match {
+              case EqString(_, v)     => mn <= v && v <= mx
+              case EqLong(_, v)       => mn.toLong <= v && v <= mx.toLong
+              case RangeLong(_, l, h) => mn.toLong <= h && mx.toLong >= l
+              case GeLong(_, l)       => mx.toLong >= l
+              case LeLong(_, h)       => mn.toLong <= h
+            }
+          case _ => s.nullCount < file.rowCount // all-null file only matches IS NULL
+        }
+    }
+  }
+}
+
+/**
+ * The engine's table handle: snapshot-isolated reads, append/rewrite commits,
+ * manifest bookkeeping, stats collection.
+ *
+ * All planning here is metadata-relative: only file-level metadata (path,
+ * size, rows, min/max) ever reaches the driver; data rows stay distributed.
+ * That keeps the same code plausible from the sandbox's 10^4 rows to the
+ * target 10^12.
+ */
+class GraftTable(val root: String, val spark: SparkSession) {
+  import GraftTable._
+
+  def meta: TableMetadata = MetaIO.load(root).map(_._2)
+    .getOrElse(throw new IllegalStateException(s"no table at $root"))
+  def version: Int = MetaIO.currentVersion(root)
+    .getOrElse(throw new IllegalStateException(s"no table at $root"))
+
+  def schema: StructType = StructType.fromDDL(meta.schemaDdl)
+
+  def currentSnapshot: Snapshot = meta.currentSnapshot
+    .getOrElse(throw new IllegalStateException(s"table at $root has no snapshot"))
+
+  def snapshotFiles(s: Snapshot): Seq[DataFileMeta] =
+    s.manifests.flatMap(m => MetaIO.readManifest(root, m).files)
+
+  def currentFiles: Seq[DataFileMeta] = snapshotFiles(currentSnapshot)
+
+  // ---------------------------------------------------------------- reads
+
+  /** Full scan of a snapshot (default: current). Snapshot isolation: the file
+    * list is pinned from the snapshot's manifests at plan time, so concurrent
+    * maintenance commits do not change what this DataFrame reads —
+    * the engine's analog of the reference's namespace isolation
+    * (core/src/namespace.ts:17-23). */
+  def scan(snapshotId: Option[Long] = None): DataFrame = {
+    val s = snapshotId.flatMap(meta.snapshot).getOrElse(currentSnapshot)
+    readFiles(snapshotFiles(s))
+  }
+
+  /** Pruned scan: drop whole files whose min/max stats refute the filters,
+    * then apply the filters row-level (Parquet row-group pruning + codegen
+    * handle the rest). */
+  def scanWhere(filters: Seq[PruneFilter], snapshotId: Option[Long] = None): DataFrame = {
+    val s = snapshotId.flatMap(meta.snapshot).getOrElse(currentSnapshot)
+    val files = snapshotFiles(s).filter(f => filters.forall(PruneFilter.mayMatch(f, _)))
+    val df = readFiles(files)
+    filters.foldLeft(df)((d, f) => d.filter(PruneFilter.toColumn(f)))
+  }
+
+  /** How many files a pruned scan would open (observability for tests/bench). */
+  def planFiles(filters: Seq[PruneFilter]): Seq[DataFileMeta] =
+    currentFiles.filter(f => filters.forall(PruneFilter.mayMatch(f, _)))
+
+  private def readFiles(files: Seq[DataFileMeta]): DataFrame =
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(_.absPath(root)): _*)
+
+  // --------------------------------------------------------------- writes
+
+  /** Write `df` as new data files (one commit dir), collect per-file stats,
+    * and return the new files' metadata. Does NOT commit a snapshot. */
+  def writeDataFiles(df: DataFrame, targetFiles: Option[Int] = None,
+      sortWithin: Seq[String] = Nil): Seq[DataFileMeta] = {
+    val commitId = UUID.randomUUID().toString.take(12)
+    val rel = s"data/$commitId"
+    val dir = s"$root/$rel"
+    val shaped0 = targetFiles.map(n => df.repartition(n)).getOrElse(df)
+    val shaped = if (sortWithin.nonEmpty)
+      shaped0.sortWithinPartitions(sortWithin.map(col): _*) else shaped0
+    shaped.write.mode("errorifexists").parquet(dir)
+    collectStats(rel)
+  }
+
+  /** Per-file stats in one distributed pass. Reads only the stats columns
+    * (binary payload column skipped via Parquet column pruning), groups by
+    * input_file_name — file-level metadata only comes back to the driver. */
+  def collectStats(relDir: String): Seq[DataFileMeta] = {
+    val dir = s"$root/$relDir"
+    val sch = schema
+    val statCols = sch.fields.filterNot(_.dataType == BinaryType).map(_.name)
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).cast(StringType).as(s"min_$c"),
+          max(col(c)).cast(StringType).as(s"max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    }
+    val rows = spark.read.schema(sch).parquet(dir)
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .collect()
+    val prefix = "file:" // input_file_name returns a URI on local FS
+    rows.toSeq.map { r =>
+      val uri = r.getAs[String]("__file")
+      val p = Paths.get(java.net.URI.create(
+        if (uri.startsWith(prefix)) uri else s"file:$uri"))
+      val relPath = Paths.get(root).toAbsolutePath.relativize(p.toAbsolutePath).toString
+      val stats = statCols.map { c =>
+        c -> ColStats(Option(r.getAs[String](s"min_$c")),
+                      Option(r.getAs[String](s"max_$c")),
+                      r.getAs[Long](s"nulls_$c"))
+      }.toMap
+      DataFileMeta(relPath, Files.size(p), r.getAs[Long]("__rows"), stats)
+    }.sortBy(_.path)
+  }
+
+  /** Commit a snapshot that adds `added` and removes `removed` (by path)
+    * relative to the current snapshot. Untouched manifests are reused by
+    * path (shared across snapshots — the refcount structure); manifests that
+    * lose files are rewritten minus those entries; added files go into fresh
+    * manifest(s). Retries the optimistic CAS against a refreshed base.
+    * Commit-last ordering as in the reference's hash-after-success
+    * (pipeline/src/indexing/pipeline.ts:93-94): data files and manifests are
+    * durable before the metadata pointer moves. */
+  def commit(operation: String, added: Seq[DataFileMeta], removedPaths: Set[String],
+      summary: Map[String, String] = Map.empty): Snapshot = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (v, m) = MetaIO.load(root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      val parent = m.currentSnapshot
+      val baseManifests = parent.map(_.manifests).getOrElse(Nil)
+
+      val keptManifests = mutable.ArrayBuffer[String]()
+      for (name <- baseManifests) {
+        val data = MetaIO.readManifest(root, name)
+        val kept = data.files.filterNot(f => removedPaths.contains(f.path))
+        if (kept.size == data.files.size) keptManifests += name
+        else if (kept.nonEmpty) {
+          val nn = s"manifest-${UUID.randomUUID().toString.take(12)}.json"
+          MetaIO.writeManifest(root, nn, ManifestData(kept))
+          keptManifests += nn
+        } // fully-removed manifest: dropped
+      }
+      val newManifests =
+        if (added.isEmpty) Nil
+        else {
+          val nn = s"manifest-${UUID.randomUUID().toString.take(12)}.json"
+          MetaIO.writeManifest(root, nn, ManifestData(added))
+          Seq(nn)
+        }
+      val snap = Snapshot(
+        snapshotId = m.nextSnapshotId,
+        parentId = parent.map(_.snapshotId),
+        timestampMs = System.currentTimeMillis(),
+        operation = operation,
+        manifests = (keptManifests ++ newManifests).toSeq,
+        summary = summary ++ Map(
+          "added-files" -> added.size.toString,
+          "removed-files" -> removedPaths.size.toString,
+          "added-bytes" -> added.map(_.fileSizeBytes).sum.toString,
+          "added-rows" -> added.map(_.rowCount).sum.toString))
+      val nm = m.copy(currentSnapshotId = Some(snap.snapshotId),
+        snapshots = m.snapshots :+ snap)
+      if (MetaIO.tryCommit(root, v, nm)) return snap
+      if (attempts > 20) throw new IllegalStateException(
+        s"commit contention: lost CAS $attempts times at $root")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object GraftTable {
+  /** The engine's fixed row schema (BASELINE.json input_hint). */
+  val ImageSchemaDdl: String =
+    "image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, caption STRING, phash BIGINT"
+
+  def create(root: String, spark: SparkSession, schemaDdl: String = ImageSchemaDdl,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    require(MetaIO.currentVersion(root).isEmpty, s"table already exists at $root")
+    Files.createDirectories(Paths.get(root))
+    val meta = TableMetadata(
+      formatVersion = 1,
+      tableUuid = UUID.randomUUID().toString,
+      schemaDdl = schemaDdl,
+      properties = Map("write.target-file-size-bytes" -> (8L * 1024 * 1024).toString)
+        ++ properties,
+      currentSnapshotId = None,
+      snapshots = Nil)
+    if (!MetaIO.tryCommit(root, 0, meta))
+      throw new IllegalStateException(s"race creating table at $root")
+    new GraftTable(root, spark)
+  }
+
+  def load(root: String, spark: SparkSession): GraftTable = {
+    require(MetaIO.currentVersion(root).isDefined, s"no table at $root")
+    new GraftTable(root, spark)
+  }
+
+  /** Append rows as a new snapshot. */
+  def append(t: GraftTable, df: DataFrame, targetFiles: Option[Int] = None): Snapshot = {
+    val files = t.writeDataFiles(df, targetFiles)
+    t.commit("append", files, Set.empty)
+  }
+}

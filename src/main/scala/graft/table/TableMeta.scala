@@ -1,0 +1,154 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/**
+ * Iceberg-style table metadata, from scratch on Parquet + JSON.
+ *
+ * Layout under the table root:
+ * {{{
+ *   data/<commit-uuid>/part-*.parquet      immutable data files
+ *   metadata/v<N>.metadata.json            table metadata versions (CAS via CREATE_NEW)
+ *   metadata/manifest-<uuid>.json          immutable manifest files (shared across snapshots)
+ *   metadata/version-hint.text             latest committed version (atomic rename)
+ *   lineage/<job-id>/part-<k>.json         per-partition job lineage (resume)
+ * }}}
+ *
+ * Re-grounds the reference's table-metadata file with config-hash change
+ * detection (reference: packages/mcp/src/metadata.ts:7-29) as a versioned,
+ * snapshot-bearing metadata document, and the reference's one-JSON-file-per-
+ * record KV store (packages/storage-json/src/json-kv-storage.ts:24-46) as the
+ * small-file data plane the maintenance jobs operate on.
+ */
+object TableJson {
+  implicit val formats: Formats = DefaultFormats
+  def write[A <: AnyRef](a: A): String = Serialization.write(a)
+  def read[A](s: String)(implicit m: Manifest[A]): A = Serialization.read[A](s)
+}
+
+/** Per-column min/max/null stats, stored as strings; typed by the table schema
+  * at pruning time. Mirrors Iceberg's per-data-file lower_bounds/upper_bounds. */
+case class ColStats(min: Option[String], max: Option[String], nullCount: Long)
+
+/** One immutable data file. `path` is relative to the table root. */
+case class DataFileMeta(
+    path: String,
+    fileSizeBytes: Long,
+    rowCount: Long,
+    stats: Map[String, ColStats]) {
+  def absPath(root: String): String = s"$root/$path"
+}
+
+/** An immutable manifest: a list of data files. Shared (by path) across
+  * snapshots that did not touch its files — this sharing is what makes
+  * snapshot expiration a reference-counting/reachability problem
+  * (reference analog: sourceChunkIds refcount lists, core/src/types.ts:34-41). */
+case class ManifestData(files: Seq[DataFileMeta]) {
+  def totalBytes: Long = files.map(_.fileSizeBytes).sum
+  def totalRows: Long = files.map(_.rowCount).sum
+}
+
+case class Snapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    timestampMs: Long,
+    operation: String, // append | compact | cluster | rewrite-manifests | merge | expire | transcode
+    manifests: Seq[String], // metadata-relative manifest file names
+    summary: Map[String, String])
+
+case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    schemaDdl: String,
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[Snapshot]) {
+
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+
+  def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+
+  def nextSnapshotId: Long =
+    if (snapshots.isEmpty) 1L else snapshots.map(_.snapshotId).max + 1L
+}
+
+/** Filesystem-level metadata IO with an optimistic-CAS commit protocol:
+  * a new `v<N>.metadata.json` is created with CREATE_NEW (fails if a
+  * concurrent writer committed N first), then `version-hint.text` is swapped
+  * by atomic rename. Readers resolve the hint, falling back to a directory
+  * scan. This replaces the reference's create-table race-guard promise
+  * (storage-lancedb/src/lancedb-vector-storage.ts:79-92) with a durable
+  * single-winner protocol. */
+object MetaIO {
+  def metadataDir(root: String): Path = Paths.get(root, "metadata")
+  def hintFile(root: String): Path = metadataDir(root).resolve("version-hint.text")
+  def versionFile(root: String, v: Int): Path =
+    metadataDir(root).resolve(s"v$v.metadata.json")
+
+  def currentVersion(root: String): Option[Int] = {
+    val hint = hintFile(root)
+    val hinted =
+      if (Files.exists(hint))
+        scala.util.Try(new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt).toOption
+      else None
+    // The hint is only a hint: scan for any later version a crashed writer
+    // committed after the CAS but before the hint swap.
+    val dir = metadataDir(root)
+    if (!Files.exists(dir)) return None
+    val scanned = {
+      val it = Files.list(dir).iterator()
+      var mx = -1
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".metadata.json")) {
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+            .toOption.foreach(v => if (v > mx) mx = v)
+        }
+      }
+      if (mx >= 0) Some(mx) else None
+    }
+    (hinted.toSeq ++ scanned.toSeq).maxOption
+  }
+
+  def load(root: String): Option[(Int, TableMetadata)] =
+    currentVersion(root).map { v =>
+      val s = new String(Files.readAllBytes(versionFile(root, v)), StandardCharsets.UTF_8)
+      (v, TableJson.read[TableMetadata](s))
+    }
+
+  /** Attempt to commit `meta` as version `base + 1`. Returns true iff this
+    * writer won the CAS. */
+  def tryCommit(root: String, base: Int, meta: TableMetadata): Boolean = {
+    Files.createDirectories(metadataDir(root))
+    val target = versionFile(root, base + 1)
+    val body = TableJson.write(meta).getBytes(StandardCharsets.UTF_8)
+    try {
+      Files.write(target, body, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => return false
+    }
+    val tmp = metadataDir(root).resolve(s".version-hint.${base + 1}.tmp")
+    Files.write(tmp, String.valueOf(base + 1).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, hintFile(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    true
+  }
+
+  def writeManifest(root: String, name: String, m: ManifestData): Unit = {
+    Files.createDirectories(metadataDir(root))
+    val tmp = metadataDir(root).resolve(s".$name.tmp")
+    Files.write(tmp, TableJson.write(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metadataDir(root).resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readManifest(root: String, name: String): ManifestData = {
+    val s = new String(
+      Files.readAllBytes(metadataDir(root).resolve(name)), StandardCharsets.UTF_8)
+    TableJson.read[ManifestData](s)
+  }
+}

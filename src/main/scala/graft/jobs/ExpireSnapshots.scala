@@ -55,7 +55,7 @@ object ExpireSnapshots {
   }
 
   def run(t: GraftTable, retain: Seq[Long], deleteFiles: Boolean = true,
-      sweepOrphans: Boolean = true): Result = {
+      sweepOrphans: Boolean = true, orphanMinAgeMs: Long = 0L): Result = {
     val spark = t.spark
     import spark.implicits._
     val m = t.meta
@@ -118,7 +118,12 @@ object ExpireSnapshots {
           .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
           .foreach { p =>
             val rel = Paths.get(t.root).toAbsolutePath.relativize(p.toAbsolutePath).toString
-            if (!liveFilePaths.contains(rel)) {
+            // Min-age guard: an in-flight job's just-written unit outputs are
+            // not yet in any manifest; only sweep files old enough that no
+            // live writer can still be about to commit them.
+            val oldEnough = System.currentTimeMillis() -
+              Files.getLastModifiedTime(p).toMillis >= orphanMinAgeMs
+            if (!liveFilePaths.contains(rel) && oldEnough) {
               Files.deleteIfExists(p); orphans += 1
             }
           }

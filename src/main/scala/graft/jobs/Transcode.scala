@@ -28,7 +28,12 @@ object Transcode {
     val affected = t.planFiles(Seq(graft.table.EqString("fmt", from)))
     if (affected.isEmpty) return Result(None, 0, 0)
 
-    val reenc = udf((b: Array[Byte]) => ImageCodec.encode(ImageCodec.decode(b), to))
+    val reenc = udf((b: Array[Byte]) => to match {
+      // q=0.98 + 4:4:4: measured min PSNR ~47dB on the synthetic fixture,
+      // comfortably above the 40dB invariant (q=0.95 grazes it at ~39dB).
+      case "jpg" | "jpeg" => ImageCodec.encodeJpg(ImageCodec.decode(b), 0.98f)
+      case other => ImageCodec.encode(ImageCodec.decode(b), other)
+    })
     val df = spark.read.schema(t.schema).parquet(affected.map(_.absPath(t.root)): _*)
     val out = df
       .withColumn("__nb", when(col("fmt") === lit(from), reenc(col("bytes")))

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.{functions => gf}
+import graft.jobs.Cluster
+import graft.table.{GraftTable, RangeLong}
+
+class ClusterSpec extends GraftSuite {
+
+  private def overlapScore(t: GraftTable): Double = {
+    // Mean number of files whose [phash_min, phash_max] ranges overlap a
+    // random file's range — lower = better clustered layout.
+    val ranges = t.currentFiles.flatMap { f =>
+      for (mn <- f.stats("phash").min; mx <- f.stats("phash").max)
+        yield (mn.toLong, mx.toLong)
+    }
+    val n = ranges.size
+    if (n <= 1) return 1.0
+    val overlaps = for (a <- ranges; b <- ranges if a != b)
+      yield if (a._1 <= b._2 && b._1 <= a._2) 1 else 0
+    overlaps.sum.toDouble / n
+  }
+
+  test("global zorder cluster preserves rows and all replay results") {
+    val t = TestFixtures.freshTable("cluster-zorder")
+    val before = snapshotReplay(t)
+    val rows = t.currentFiles.map(_.rowCount).sum
+    val res = Cluster.run(t, curve = "zorder", mode = "global", targetBytes = 192L * 1024)
+    assert(res.snapshot.isDefined)
+    assert(t.currentFiles.map(_.rowCount).sum == rows)
+    assert(snapshotReplay(t) == before)
+  }
+
+  test("clustering improves phash-range file pruning vs the scattered layout") {
+    val t = TestFixtures.freshTable("cluster-pruning")
+    // Scattered tiny files: nearly every file spans most of the phash range.
+    val span = RangeLong("phash", Long.MinValue / 16, Long.MaxValue / 16)
+    Cluster.run(t, curve = "zorder", mode = "global", targetBytes = 96L * 1024)
+    val total = t.currentFiles.size
+    val pruned = t.planFiles(Seq(span)).size
+    assert(total >= 4, s"want several output files, got $total")
+    assert(pruned < total,
+      s"clustered layout should prune some files for a phash range ($pruned/$total)")
+    // Correctness of the pruned scan.
+    assert(canon(t.scanWhere(Seq(span))) ==
+      canon(t.scan().filter(col("phash") >= span.lo && col("phash") <= span.hi)))
+  }
+
+  test("groups mode clusters resumable units and preserves results") {
+    val t = TestFixtures.freshTable("cluster-groups")
+    val before = snapshotReplay(t)
+    val res = Cluster.run(t, curve = "hilbert", mode = "groups", targetBytes = 128L * 1024)
+    assert(res.snapshot.isDefined)
+    assert(snapshotReplay(t) == before)
+  }
+
+  test("curve expressions agree with the pure-Scala functions on table data") {
+    val t = TestFixtures.baseTable
+    val rows = t.scan().select(col("phash"), col("w"), col("h"),
+        gf.clusterKeyZ(col("phash"), col("w"), col("h")).as("z"),
+        gf.clusterKeyHilbert(col("phash"), col("w"), col("h")).as("hk"))
+      .limit(200).collect()
+    rows.foreach { r =>
+      val (p, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(r.getLong(3) == graft.expr.Curves.zorder3(p >>> 43, w, h))
+      assert(r.getLong(4) == graft.expr.Curves.hilbert3(p >>> 43, w, h))
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.jobs.{Compact, ExpireSnapshots}
+import graft.table.GraftTable
+
+/** Refcount-cascade fixtures (FIXTURES.md §2; reference behavior:
+  * pipeline.test.ts:641-853 refcount delete variants). */
+class ExpireSnapshotsSpec extends GraftSuite {
+
+  test("expire deletes only files unreachable from every retained snapshot; shared files survive") {
+    val t = TestFixtures.freshTable("expire-shared")
+    val s1 = t.currentSnapshot.snapshotId // append snapshot
+
+    // Compact creates s2; s1 and s2 SHARE zero data files (full rewrite),
+    // but append more rows to s2 -> s3 shares s2's files via manifest reuse.
+    Compact.run(t, targetBytes = 4L * 1024 * 1024)
+    val s2 = t.currentSnapshot.snapshotId
+    val s2Files = t.currentFiles.map(_.path).toSet
+    GraftTable.append(t, graft.images.ImageGen.df(spark, 50, seed = 99L, partitions = 2))
+    val s3 = t.currentSnapshot.snapshotId
+    assert(t.currentFiles.map(_.path).toSet.intersect(s2Files) == s2Files,
+      "append must share the compacted files via manifest reuse")
+
+    // Expire s1 and s2, retain s3: s1's original files die; s2's files
+    // survive because s3 still references them (shared manifest).
+    val res = ExpireSnapshots.run(t, retain = Seq(s3))
+    assert(res.expiredSnapshots.toSet == Set(s1, s2))
+    assert(res.deletedDataFiles > 0, "s1's small files must be deleted")
+    s2Files.foreach { p =>
+      assert(Files.exists(Paths.get(s"${t.root}/$p")), s"shared file $p must survive")
+    }
+    // The retained snapshot still reads perfectly.
+    assert(t.scan().count() == TestFixtures.BaseRows + 50)
+  }
+
+  test("expire refuses to drop the current snapshot") {
+    val t = TestFixtures.freshTable("expire-refuse")
+    val cur = t.currentSnapshot.snapshotId
+    Compact.run(t, targetBytes = 4L * 1024 * 1024)
+    intercept[IllegalArgumentException] {
+      ExpireSnapshots.run(t, retain = Seq(cur)) // retains only the OLD one
+    }
+  }
+
+  test("orphan sweep removes uncommitted unit outputs but never live files") {
+    val t = TestFixtures.freshTable("expire-orphans")
+    // Simulate a killed job: write data files that no manifest references.
+    val orphanDf = graft.images.ImageGen.df(spark, 20, seed = 5L, partitions = 1)
+    t.writeDataFiles(orphanDf) // returns metadata but we never commit it
+    val liveCount = t.scan().count()
+    val res = ExpireSnapshots.run(t, retain = Seq(t.currentSnapshot.snapshotId))
+    assert(res.orphansSwept > 0, "uncommitted unit outputs must be swept")
+    assert(t.scan().count() == liveCount)
+  }
+
+  test("reachability helper computes multi-hop closure") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r = ExpireSnapshots.reachable(spark, edges, seeds)
+      .as[String].collect().toSet
+    assert(r == Set("a", "b", "c", "d"))
+  }
+}

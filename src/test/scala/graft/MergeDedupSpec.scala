@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.{functions => gf}
+import graft.images.{ImageCodec, ImageGen}
+import graft.jobs.{DedupPhash, MergeInto, Transcode}
+
+/** MERGE semantics fixtures (FIXTURES.md §2; reference:
+  * createFlowRAG.ts:51-119 mergeEntities conflict rules). */
+class MergeDedupSpec extends GraftSuite {
+
+  test("merge updates captions copy-on-write, leaves other rows and files untouched") {
+    import spark.implicits._
+    val t = TestFixtures.freshTable("merge-captions")
+    val before = t.scan().count()
+    val filesBefore = t.currentFiles.map(_.path).toSet
+
+    val fixes = Seq(
+      ("img-000000000003", "corrected caption three"),
+      ("img-000000000017", "corrected caption seventeen")).toDF("image_id", "caption")
+    val res = MergeInto.run(t, fixes)
+    assert(res.snapshot.isDefined)
+    assert(res.insertedRows == 0)
+    assert(t.scan().count() == before)
+
+    val got = t.scan().filter(col("image_id").isin("img-000000000003", "img-000000000017"))
+      .select("image_id", "caption").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("img-000000000003") == "corrected caption three")
+    assert(got("img-000000000017") == "corrected caption seventeen")
+
+    // COW: only the files containing the two keys were replaced.
+    val filesAfter = t.currentFiles.map(_.path).toSet
+    val untouched = filesBefore.intersect(filesAfter)
+    assert(untouched.size >= filesBefore.size - 3,
+      s"merge must not rewrite unrelated files (${filesBefore.size} -> kept ${untouched.size})")
+    // Bytes of an unrelated row unchanged.
+    assert(canon(t.scan().filter(col("image_id") === "img-000000000500")).nonEmpty)
+  }
+
+  test("merge inserts unmatched source rows with computed w/h/phash") {
+    import spark.implicits._
+    val t = TestFixtures.freshTable("merge-inserts")
+    val img = ImageGen.drawBase(40, 30, new scala.util.Random(123))
+    val png = ImageCodec.encodePng(img)
+    val src = Seq(("img-brand-new-row", "a brand new caption", png))
+      .toDF("image_id", "caption", "bytes")
+    val before = t.scan().count()
+    val res = MergeInto.run(t, src)
+    assert(res.insertedRows == 1)
+    assert(t.scan().count() == before + 1)
+    val r = t.scan().filter(col("image_id") === "img-brand-new-row").collect().head
+    assert(r.getAs[Int]("w") == 40 && r.getAs[Int]("h") == 30)
+    assert(r.getAs[Long]("phash") == ImageCodec.phash(png))
+    assert(r.getAs[String]("caption") == "a brand new caption")
+  }
+
+  test("merge dedups its own source on the natural key (longest caption wins)") {
+    import spark.implicits._
+    val t = TestFixtures.freshTable("merge-src-dedup")
+    val src = Seq(
+      ("img-000000000009", "short"),
+      ("img-000000000009", "much much longer corrected caption")).toDF("image_id", "caption")
+    MergeInto.run(t, src)
+    val got = t.scan().filter(col("image_id") === "img-000000000009")
+      .select("caption").collect().head.getString(0)
+    assert(got == "much much longer corrected caption")
+  }
+
+  test("exact phash dedup keeps one canonical row per duplicate group") {
+    val t = TestFixtures.freshTable("dedup-exact")
+    val cand = t.scan().select("phash").groupBy("phash").count()
+    val dupRows = cand.filter(col("count") > 1)
+      .agg(sum(col("count"))).collect().head.getLong(0)
+    val groups = cand.filter(col("count") > 1).count()
+    assert(groups >= 1, "fixture must contain hot phash buckets")
+
+    val res = DedupPhash.run(t)
+    assert(res.victims == dupRows - groups, "keep exactly one per group")
+    // Post-state: phash column is now unique.
+    val maxCnt = t.scan().groupBy("phash").count().agg(max("count")).collect().head.getLong(0)
+    assert(maxCnt == 1L)
+    // Canonical = longest caption in each group survives (A6 semantics).
+  }
+
+  test("near-dup dedup (hamming<=4) also collapses perturbation neighbors") {
+    val t = TestFixtures.freshTable("dedup-near")
+    val exact = DedupPhash.run(t) // collapse exact first (separate snapshots)
+    val near = DedupPhash.run(t, hammingThreshold = 4)
+    // After exact, any remaining near pairs come from perturbations that
+    // flipped a few bits; they must now be gone.
+    val phashes = t.scan().select("phash").collect().map(_.getLong(0))
+    val nearPairs = for {
+      i <- phashes.indices; j <- (i + 1) until phashes.length
+      if java.lang.Long.bitCount(phashes(i) ^ phashes(j)) <= 4
+    } yield 1
+    assert(nearPairs.isEmpty, s"${nearPairs.size} near pairs survived (victims=${near.victims})")
+  }
+
+  test("transcode png->jpg keeps captions byte-equal and pixels above 40dB PSNR") {
+    val t = TestFixtures.freshTable("transcode")
+    val before = t.scan().select("image_id", "caption", "fmt", "bytes")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getAs[Array[Byte]](3))).toMap
+    val res = Transcode.run(t, "png", "jpg")
+    assert(res.transcodedRows > 0)
+    val after = t.scan().select("image_id", "caption", "fmt", "bytes").collect()
+    assert(after.length == before.size)
+    after.foreach { r =>
+      val id = r.getString(0)
+      val (cap0, fmt0, bytes0) = before(id)
+      assert(r.getString(1) == cap0, s"$id caption must be byte-equal")
+      if (fmt0 == "png") {
+        assert(r.getString(2) == "jpg")
+        val p = ImageCodec.psnrBytes(bytes0, r.getAs[Array[Byte]](3))
+        assert(p >= 40.0, s"$id psnr $p below invariant")
+      } else {
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]](3), bytes0),
+          s"$id non-transcoded bytes must be untouched")
+      }
+    }
+    // The Psnr expression agrees with the driver-side check (spot).
+    val viaExpr = t.scan().limit(5)
+      .select(gf.psnr(col("bytes"), col("bytes"))).collect()
+    viaExpr.foreach(r => assert(r.getDouble(0) == 999.0))
+  }
+}

@@ -16,7 +16,7 @@ import graft.table.GraftTable
  * local[8] vs local[32]) and reporting efficiency
  * = (throughput_4N / throughput_N) / 4 (BASELINE.md).
  *
- *   sbt "runMain graft.EngineBench <rows> <files> <cpus> [workdir]"
+ *   sbt "runMain graft.EngineBench <rows> <files> <cpus> [workdir] [targetMB] [big]"
  */
 object EngineBench {
   def main(args: Array[String]): Unit = {
@@ -25,6 +25,9 @@ object EngineBench {
     val cpus = if (args.length > 2) args(2).toInt else 8
     val work = if (args.length > 3) args(3)
       else Files.createTempDirectory("graft-bench").toString
+    val targetBytes = ((if (args.length > 4) args(4).toDouble else 1.0) * 1024 * 1024).toLong
+    val sizes = if (args.length > 5 && args(5) == "big")
+      Array(128, 160, 192, 224, 256) else ImageGen.Sizes
     val spark = GraftSession.get(cpus)
 
     // Phase 0 (untimed): deterministic fixture — rows images as nFiles tiny
@@ -32,20 +35,21 @@ object EngineBench {
     val root = s"$work/table-$cpus"
     val t = GraftTable.create(root, spark)
     val genT0 = System.nanoTime()
-    GraftTable.append(t, ImageGen.df(spark, rows, seed = 42L, partitions = nFiles))
+    GraftTable.append(t, ImageGen.df(spark, rows, seed = 42L, partitions = nFiles,
+      sizes = sizes))
     val genSec = (System.nanoTime() - genT0) / 1e9
     val bytesIn = t.currentFiles.map(_.fileSizeBytes).sum
 
     // Phase 1: compaction (timed).
     val c0 = System.nanoTime()
-    val cRes = Compact.run(t, targetBytes = 64L * 1024 * 1024,
-      maxConcurrentBins = math.max(2, cpus / 2))
+    val cRes = Compact.run(t, targetBytes = targetBytes,
+      maxConcurrentBins = math.max(2, cpus))
     val compactSec = (System.nanoTime() - c0) / 1e9
 
     // Phase 2: clustering (timed).
     val k0 = System.nanoTime()
     val kRes = Cluster.run(t, curve = "zorder", mode = "global",
-      targetBytes = 64L * 1024 * 1024)
+      targetBytes = targetBytes)
     val clusterSec = (System.nanoTime() - k0) / 1e9
 
     val rewrittenBytes = cRes.bytesIn + kRes.bytesIn

@@ -299,7 +299,28 @@ object SparkEntry {
       .withColumn("sig", xxhash64(col("c_name")))
       .withColumn("dist", gf.hamming(col("sig"), lit(0x5a5a5a5a5a5a5a5aL)))
       .orderBy(col("dist").asc, col("c_custkey").asc).limit(25)
-      .select(col("c_custkey"), col("dist"))))
+      .select(col("c_custkey"), col("dist"))),
+
+    // C3 sliding-window chunker (indexing/chunker.ts:13-46).
+    "q31_chunker" -> ((s, d) =>
+      graft.operators.TextOps.chunk(ld(s, d, "documents"), "text", "doc_id",
+        size = 32, overlap = 8)
+        .select(col("chunk_id"), col("doc_id"), col("chunk_index"),
+          md5(col("chunk_text")).as("text_md5"),
+          col("start_token"), col("end_token"))),
+
+    // A7/W5 term-hit boost + rerank (querying/pipeline.ts:129-139).
+    "q32_boost_rerank" -> ((s, d) =>
+      graft.operators.TextOps.boostRerank(ld(s, d, "documents"), "text",
+        col("n_chars").cast("double") / 1000.0,
+        Seq("spark", "join", "merge"), 20)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"), col("hits"), col("score"))),
+
+    // C2 base64url content-location ids (scanner.ts:63).
+    "q33_doc_ids" -> ((s, d) => ld(s, d, "documents")
+      .withColumn("path", concat(col("source"), lit("/"), col("doc_id")))
+      .select(col("doc_id"), graft.operators.TextOps.docId(col("path")).as("doc_uid"))))
 
   // --------------------------------------------------------------- oracles
 
@@ -476,6 +497,33 @@ object SparkEntry {
       "q27_time_buckets" ->
         """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
           |  count(*) AS cnt, round(sum(value), 2) AS v
-          |FROM events GROUP BY 1, 2""".stripMargin)
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      "q31_chunker" ->
+        """SELECT 'chunk:' || doc_id || ':' || CAST(s // 24 AS VARCHAR) AS chunk_id,
+          |  doc_id, s // 24 AS chunk_index,
+          |  md5(array_to_string(toks[s + 1 : s + 32], ' ')) AS text_md5,
+          |  CAST(s AS BIGINT) AS start_token,
+          |  least(s + 32, n) AS end_token
+          |FROM (
+          |  SELECT doc_id, toks, n,
+          |    unnest(generate_series(0, greatest(0, ((n - 1) // 24) * 24), 24)) AS s
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+          |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          |        FROM documents))""".stripMargin,
+      "q32_boost_rerank" ->
+        """SELECT doc_id, hits,
+          |  round((CAST(n_chars AS DOUBLE) / 1000.0) * (1.0 + 0.1 * hits), 4) AS score
+          |FROM (
+          |  SELECT doc_id, n_chars,
+          |    CAST((CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) +
+          |         (CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) +
+          |         (CASE WHEN text LIKE '%merge%' THEN 1 ELSE 0 END) AS BIGINT) AS hits
+          |  FROM documents)
+          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+      "q33_doc_ids" ->
+        """SELECT doc_id,
+          |  'doc:' || regexp_replace(translate(base64(encode(
+          |    source || '/' || doc_id)), '+/', '-_'), '=+$', '') AS doc_uid
+          |FROM documents""".stripMargin)
   }
 }

@@ -83,8 +83,9 @@ object ImageGen {
     out
   }
 
-  /** One deterministic row. */
-  def row(i: Long, seed: Long): (String, Array[Byte], Int, Int, String, String, Long) = {
+  /** One deterministic row. `sizes` controls the drawn dimensions (bench
+    * uses larger images so IO, not job overhead, dominates). */
+  def row(i: Long, seed: Long, sizes: Array[Int] = Sizes): (String, Array[Byte], Int, Int, String, String, Long) = {
     val spec = Spec(i, seed)
     val rng = spec.rng
     val isDup = rng.nextDouble() < DupFraction
@@ -92,11 +93,11 @@ object ImageGen {
     val (img, w, h) = cluster match {
       case Some(c) =>
         val crng = new Random(7777L + c)
-        val w = Sizes(crng.nextInt(Sizes.length)); val h = Sizes(crng.nextInt(Sizes.length))
+        val w = sizes(crng.nextInt(sizes.length)); val h = sizes(crng.nextInt(sizes.length))
         val base = drawBase(w, h, new Random(8888L + c))
         (perturb(base, rng), w, h)
       case None =>
-        val w = Sizes(rng.nextInt(Sizes.length)); val h = Sizes(rng.nextInt(Sizes.length))
+        val w = sizes(rng.nextInt(sizes.length)); val h = sizes(rng.nextInt(sizes.length))
         (drawBase(w, h, rng), w, h)
     }
     val fmt = if (rng.nextDouble() < 0.3) "jpg" else "png"
@@ -117,11 +118,11 @@ object ImageGen {
 
   /** Distributed deterministic generation of `n` rows. */
   def df(spark: SparkSession, n: Long, seed: Long = 42L,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32, sizes: Array[Int] = Sizes): DataFrame = {
     import spark.implicits._
     val ids = spark.range(0, n, 1, partitions)
     val rows = ids.map { i =>
-      val (id, b, w, h, f, c, p) = row(i, seed)
+      val (id, b, w, h, f, c, p) = row(i, seed, sizes)
       (id, b, w, h, f, c, p)
     }.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
     rows

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph operators over (nodes, edges) DataFrames, restating the reference's
+ * GraphStorage surface (core/src/interfaces/storage.ts:34-44) Spark-first.
+ * Nodes: (id, ...attrs); edges: (src, dst, ...attrs).
+ */
+object GraphOps {
+
+  /** G1/G2: depth-limited traversal with cycle guard — iterative frontier
+    * expansion; `direction` out|in|both (reference:
+    * sqlite-graph-storage.ts:201-226; querying/pipeline.ts:64-85). */
+  def traverse(spark: SparkSession, edges: DataFrame, startIds: Seq[String],
+      maxDepth: Int, direction: String = "out"): DataFrame = {
+    import spark.implicits._
+    val e = direction match {
+      case "out" => edges.select(col("src"), col("dst"))
+      case "in" => edges.select(col("dst").as("src"), col("src").as("dst"))
+      case "both" => edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      case other => throw new IllegalArgumentException(s"direction: $other")
+    }
+    var visited = startIds.toDF("id").withColumn("depth", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited
+    var d = 0
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
+
+  /** G3: shortest path between two nodes (BFS with parent pointers;
+    * reference findPath, sqlite-graph-storage.ts:228-254, maxDepth 5).
+    * Returns the node sequence, or None. */
+  def findPath(spark: SparkSession, edges: DataFrame, from: String, to: String,
+      maxDepth: Int = 5): Option[Seq[String]] = {
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+    var parents = Seq((from, "")).toDF("id", "parent").localCheckpoint(true)
+    var frontier = parents.select(col("id"))
+    var d = 0
+    var found = !frontier.filter(col("id") === to).isEmpty
+    while (!found && d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .groupBy(e("dst").as("id")).agg(min(e("src")).as("parent"))
+        .join(parents, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      parents = parents.union(next).localCheckpoint(true)
+      frontier = next.select(col("id"))
+      found = !frontier.filter(col("id") === to).isEmpty
+    }
+    if (!found) None
+    else {
+      // Path length <= maxDepth: a bounded driver-side walk of parents.
+      val m = parents.as[(String, String)].collect().toMap
+      val path = scala.collection.mutable.ArrayBuffer(to)
+      while (path.head != from) path.prepend(m(path.head))
+      Some(path.toSeq)
+    }
+  }
+
+  /** G4-style cascade: edges incident to deleted nodes go too. */
+  def cascadeDelete(nodes: DataFrame, edges: DataFrame, deleteIds: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val keptNodes = nodes.join(deleteIds.withColumnRenamed("id", "__d"),
+      nodes("id") === col("__d"), "left_anti")
+    val keptEdges = edges
+      .join(deleteIds.withColumnRenamed("id", "__d"), edges("src") === col("__d"), "left_anti")
+      .join(deleteIds.withColumnRenamed("id", "__d"), edges("dst") === col("__d"), "left_anti")
+    (keptNodes, keptEdges)
+  }
+
+  /** S10: export sinks — json/csv via Spark writers (quote-escaping
+    * built-in, unlike the reference's hand-rolled CSV,
+    * createFlowRAG.ts:151-157); DOT digraph is a bounded driver render. */
+  def exportJson(nodes: DataFrame, edges: DataFrame, dir: String): Unit = {
+    nodes.write.mode("overwrite").json(s"$dir/nodes")
+    edges.write.mode("overwrite").json(s"$dir/edges")
+  }
+
+  def exportCsv(nodes: DataFrame, edges: DataFrame, dir: String): Unit = {
+    nodes.write.mode("overwrite").option("header", "true").csv(s"$dir/nodes")
+    edges.write.mode("overwrite").option("header", "true").csv(s"$dir/edges")
+  }
+
+  def exportDot(nodes: DataFrame, edges: DataFrame, maxNodes: Int = 10000): String = {
+    val ns = nodes.select("id").limit(maxNodes).collect().map(_.getString(0))
+    val inSet = ns.toSet
+    val es = edges.select("src", "dst").collect()
+      .filter(r => inSet(r.getString(0)) && inSet(r.getString(1)))
+    val sb = new StringBuilder("digraph G {\n")
+    ns.foreach(n => sb.append(s"""  "$n";\n"""))
+    es.foreach(r => sb.append(s"""  "${r.getString(0)}" -> "${r.getString(1)}";\n"""))
+    sb.append("}\n").toString
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text / id operators restating the reference's scalar surface (SURVEY.md
+ * §2.7) for training-data pipelines.
+ */
+object TextOps {
+
+  /** C2: deterministic content-location ids — "doc:" + base64url(path)
+    * (reference: scanner.ts:63; decode at indexing/pipeline.ts:326-329).
+    * base64url = base64 with +/ -> -_ and padding stripped. */
+  def docId(path: Column): Column =
+    concat(lit("doc:"),
+      regexp_replace(translate(base64(path.cast("binary")), "+/", "-_"), "=+$", ""))
+
+  def docIdToPath(id: Column): Column = {
+    val b64 = translate(regexp_replace(id, "^doc:", ""), "-_", "+/")
+    // Re-pad to a multiple of 4 before unbase64.
+    val pad = (lit(4) - length(b64) % 4) % 4
+    unbase64(concat(b64, substring(lit("==="), lit(1), pad))).cast("string")
+  }
+
+  /** C3: sliding-window chunker (reference: indexing/chunker.ts:13-46):
+    * tokens -> windows of `size` stepping `size - overlap`; emits
+    * (doc pk, chunk_index, chunk_text, start_token, end_token).
+    * Chunk id = "chunk:{doc}:{index}" (chunker.ts:28). Pure narrow op:
+    * posexplode, no shuffle. */
+  def chunk(df: DataFrame, textCol: String, keyCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(overlap < size, "overlap must be < size")
+    val step = size - overlap
+    df.withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
+      .withColumn("__starts", sequence(lit(0),
+        greatest(lit(0), floor((col("__n") - 1) / step) * step), lit(step)))
+      .select(col(keyCol), col("__toks"), col("__n"),
+        posexplode(col("__starts")).as(Seq("chunk_index", "__start")))
+      .filter(col("__start") === 0 || col("__start") < col("__n"))
+      .select(
+        concat(lit("chunk:"), col(keyCol), lit(":"), col("chunk_index")).as("chunk_id"),
+        col(keyCol),
+        col("chunk_index").cast("long").as("chunk_index"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(size)), " ").as("chunk_text"),
+        col("__start").cast("long").as("start_token"),
+        least(col("__start") + size, col("__n")).cast("long").as("end_token"))
+  }
+
+  /** A7/W5: entity-hit score boost + rerank (reference:
+    * querying/pipeline.ts:129-139): hits = count of known terms contained in
+    * the text; score = base * (1 + 0.1 * hits), re-sorted. The term list is
+    * a broadcast-style literal array (J6 known-entity context). */
+  def boostRerank(df: DataFrame, textCol: String, baseScore: Column,
+      terms: Seq[String], k: Int): DataFrame = {
+    val hits = terms.map(t =>
+      when(col(textCol).contains(t), 1).otherwise(0).cast("long")).reduce(_ + _)
+    df.withColumn("hits", hits)
+      .withColumn("score", round(baseScore * (lit(1.0) + lit(0.1) * col("hits")), 4))
+  }
+
+  /** F8: entity resolution chain — exact id, then case-insensitive, then
+    * substring (reference: mcp/src/resolve.ts:3-19). Returns matches with
+    * the rank of the rule that matched (1 best), best-first. */
+  def resolve(df: DataFrame, nameCol: String, q: String): DataFrame = {
+    df.withColumn("__rule",
+        when(col(nameCol) === q, 1)
+          .when(lower(col(nameCol)) === q.toLowerCase, 2)
+          .when(lower(col(nameCol)).contains(q.toLowerCase), 3))
+      .filter(col("__rule").isNotNull)
+      .withColumn("match_rule", col("__rule").cast("long")).drop("__rule")
+      .orderBy(col("match_rule"), col(nameCol))
+  }
+}

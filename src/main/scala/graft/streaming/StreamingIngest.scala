@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.table.GraftTable
+
+/**
+ * Structured Streaming surface (SURVEY.md §2.9: the reference has no streams;
+ * its incrementality is batch-diff — the lakehouse-native streaming analog is
+ * micro-batch append with exactly-once table commits).
+ *
+ *  - [[appendStream]]: readStream -> foreachBatch -> snapshot-committed
+ *    appends. Each micro-batch becomes one atomic snapshot; the table's
+ *    commit protocol makes replayed batches idempotent at the snapshot level
+ *    (re-grounding I2 hash-after-success ordering,
+ *    indexing/pipeline.ts:93-94).
+ *  - [[windowedEventStats]]: watermarked event-time windowed aggregation —
+ *    the progress-event statistics surface (I6,
+ *    pipeline/src/types.ts:86-101) as a streaming query.
+ */
+object StreamingIngest {
+
+  /** Micro-batch append of a streaming DataFrame (table schema) into the
+    * table. Returns the started query; caller owns lifecycle. */
+  def appendStream(t: GraftTable, stream: DataFrame, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Exactly-once across restarts comes from the streaming checkpoint
+        // (committed batch ids are not re-delivered to foreachBatch); each
+        // delivered batch becomes one atomic snapshot.
+        if (!batch.isEmpty) GraftTable.append(t, batch): Unit
+      }
+      .start()
+
+  /** Watermark + sliding window aggregation over an event stream
+    * (ts, event_type, value). */
+  def windowedEventStats(events: DataFrame,
+      window_ : String = "5 minutes", slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+}

@@ -124,7 +124,26 @@ class GraftTable(val root: String, val spark: SparkSession) {
     val shaped = if (sortWithin.nonEmpty)
       shaped0.sortWithinPartitions(sortWithin.map(col): _*) else shaped0
     shaped.write.mode("errorifexists").parquet(dir)
-    collectStats(rel)
+    footerStats(rel)
+  }
+
+  /** Per-file stats from Parquet footers (no data re-scan, no extra Spark
+    * job — the writer already computed them). Zero-row files are dropped. */
+  def footerStats(relDir: String): Seq[DataFileMeta] = {
+    val dir = Paths.get(s"$root/$relDir")
+    val sch = schema
+    val rootAbs = Paths.get(root).toAbsolutePath
+    val files = Files.list(dir).iterator()
+    val out = scala.collection.mutable.ArrayBuffer[DataFileMeta]()
+    while (files.hasNext) {
+      val p = files.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        FooterStats.read(p.toAbsolutePath.toString, sch).foreach { m =>
+          out += m.copy(path = rootAbs.relativize(p.toAbsolutePath).toString)
+        }
+      }
+    }
+    out.sortBy(_.path).toSeq
   }
 
   /** Per-file stats in one distributed pass. Reads only the stats columns

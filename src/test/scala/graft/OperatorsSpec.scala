@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphOps, TextOps}
+
+class OperatorsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("doc ids roundtrip: path -> base64url id -> path") {
+    val df = Seq("a/b.txt", "nested/dir/file name.md", "weird?&chars")
+      .toDF("path")
+      .withColumn("id", TextOps.docId(col("path")))
+      .withColumn("back", TextOps.docIdToPath(col("id")))
+    df.collect().foreach { r =>
+      assert(r.getString(2) == r.getString(0), s"roundtrip failed for ${r.getString(0)}")
+      assert(r.getString(1).startsWith("doc:"))
+      assert(!r.getString(1).contains("=") && !r.getString(1).contains("+") &&
+        !r.getString(1).contains("/"))
+    }
+  }
+
+  test("chunker windows cover all tokens with the right overlap") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = TextOps.chunk(df, "text", "doc_id", size = 32, overlap = 8)
+      .orderBy("chunk_index").collect()
+    assert(chunks.length == 5) // starts 0,24,48,72,96
+    assert(chunks.head.getAs[String]("chunk_id") == "chunk:7:0")
+    assert(chunks.head.getAs[Long]("start_token") == 0L)
+    assert(chunks.head.getAs[Long]("end_token") == 32L)
+    assert(chunks.head.getAs[String]("chunk_text").split(" ").length == 32)
+    assert(chunks.last.getAs[Long]("start_token") == 96L)
+    assert(chunks.last.getAs[Long]("end_token") == 100L)
+    assert(chunks.last.getAs[String]("chunk_text") == "t97 t98 t99 t100")
+    // Consecutive chunks overlap by 8 tokens.
+    val c0 = chunks(0).getAs[String]("chunk_text").split(" ")
+    val c1 = chunks(1).getAs[String]("chunk_text").split(" ")
+    assert(c0.takeRight(8).toSeq == c1.take(8).toSeq)
+  }
+
+  test("resolution chain prefers exact over case-insensitive over substring") {
+    val df = Seq("Alpha", "alpha", "contains alpha here", "Beta").toDF("name")
+    val r = TextOps.resolve(df, "name", "Alpha").select("name", "match_rule")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(r.head == ("Alpha", 1L))
+    assert(r.toSet == Set(("Alpha", 1L), ("alpha", 2L), ("contains alpha here", 3L)))
+  }
+
+  test("traverse respects depth, direction and cycles; findPath returns a shortest path") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+      ("x", "a")).toDF("src", "dst")
+    val out2 = GraphOps.traverse(spark, edges, Seq("a"), 2)
+      .as[(String, Long)].collect().toMap
+    assert(out2 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    val in1 = GraphOps.traverse(spark, edges, Seq("a"), 1, "in")
+      .as[(String, Long)].collect().toMap
+    assert(in1 == Map("a" -> 0L, "c" -> 1L, "x" -> 1L))
+    assert(GraphOps.findPath(spark, edges, "a", "e") == Some(Seq("a", "b", "c", "d", "e")))
+    assert(GraphOps.findPath(spark, edges, "e", "a") == None)
+    assert(GraphOps.findPath(spark, edges, "a", "c", maxDepth = 1) == None)
+  }
+
+  test("cascade delete removes incident edges") {
+    val nodes = Seq("a", "b", "c").toDF("id")
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val del = Seq("b").toDF("id")
+    val (n2, e2) = GraphOps.cascadeDelete(nodes, edges, del)
+    assert(n2.as[String].collect().toSet == Set("a", "c"))
+    assert(e2.as[(String, String)].collect().toSet == Set(("c", "a")))
+  }
+
+  test("graph export sinks: csv/json roundtrip and DOT rendering") {
+    val dir = TestFixtures.workRoot.resolve("graph-export").toString
+    val nodes = Seq("n1", "n2").toDF("id")
+    val edges = Seq(("n1", "n2")).toDF("src", "dst")
+    GraphOps.exportCsv(nodes, edges, s"$dir/csv")
+    GraphOps.exportJson(nodes, edges, s"$dir/json")
+    assert(spark.read.option("header", "true").csv(s"$dir/csv/nodes").count() == 2)
+    assert(spark.read.json(s"$dir/json/edges").count() == 1)
+    val dot = GraphOps.exportDot(nodes, edges)
+    assert(dot.contains("\"n1\" -> \"n2\";") && dot.startsWith("digraph"))
+  }
+}

@@ -14,6 +14,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Spark 4's partitioning-aware union zips same-partitioned children
+      // (SQLPartitioningAwareUnionRDD); compaction waves rely on Union
+      // CONCATENATING its per-bin coalesce(1) children into one partition
+      // per bin, so keep the legacy concatenating behavior.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.jobs.{Cluster, Compact}
+import graft.table.GraftTable
+
+/**
+ * spark-submit scaling probe over REAL separate executor JVMs
+ * (`--master local-cluster[N,cores,mem]`): the closest in-sandbox analog of
+ * the north rule's "N vs 4N executors" criterion. Unlike [[EngineBench]] it
+ * takes the master (and thus executor topology) from spark-submit.
+ *
+ *   spark-submit --master local-cluster[2,4,8192] --class graft.SubmitBench \
+ *     flowragspark.jar <pregen-src-dir> <workdir> <targetMB>
+ *
+ * Stage (untimed): append the pregenerated fixture parquet into a fresh
+ * table; then time compact + cluster. Emits one JSON line.
+ */
+object SubmitBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val work = args(1)
+    val targetBytes = ((if (args.length > 2) args(2).toDouble else 16.0) * 1024 * 1024).toLong
+    val spark = SparkSession.builder()
+      .appName("graft-submit-bench")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
+
+    val src = spark.read.parquet(srcDir)
+    val nFiles = src.inputFiles.length
+    val root = s"$work/tbl-$cores-${System.nanoTime()}"
+    val t = GraftTable.create(root, spark)
+    GraftTable.append(t, src.repartition(nFiles))
+    val bytesIn = t.currentFiles.map(_.fileSizeBytes).sum
+    val rows = t.currentFiles.map(_.rowCount).sum
+
+    val c0 = System.nanoTime()
+    val cRes = Compact.run(t, targetBytes = targetBytes, maxConcurrentBins = cores)
+    val cSec = (System.nanoTime() - c0) / 1e9
+    val k0 = System.nanoTime()
+    val kRes = Cluster.run(t, curve = "zorder", mode = "global", targetBytes = targetBytes)
+    val kSec = (System.nanoTime() - k0) / 1e9
+
+    val tot = cSec + kSec
+    println(f"""{"metric":"submit compact+cluster","cores":$cores,"rows":$rows,"bytes_in":$bytesIn,"files_in":$nFiles,"compact_sec":$cSec%.2f,"cluster_sec":$kSec%.2f,"total_sec":$tot%.2f,"images_per_sec":${2.0 * rows / tot}%.1f,"gb_per_sec":${2.0 * bytesIn / 1e9 / tot}%.4f,"compact_files_out":${cRes.filesOut},"cluster_files_out":${kRes.filesOut}}""")
+    spark.stop()
+  }
+}

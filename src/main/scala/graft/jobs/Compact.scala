@@ -73,10 +73,20 @@ object Compact {
     md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
+  /** Execute bins grouped into WAVES: each wave is ONE Spark job built as a
+    * union of per-bin coalesce(1) children, so partition i of the wave reads
+    * exactly bin i's files and writes exactly one ~target-size output file
+    * (part-i, positionally mapped back to the bin for per-bin lineage).
+    * Rationale: one Spark job per bin has a serial scheduling floor
+    * (measured ~30-50ms/job on the DAGScheduler event loop — dominates when
+    * bins are small); one job per WAVE amortizes it while keeping bin-level
+    * lineage and wave-level resume. waveSize=1 degenerates to the
+    * job-per-bin mode (used by the kill/resume test). */
   def run(t: GraftTable,
       targetBytes: Long = 8L * 1024 * 1024,
       maxConcurrentBins: Int = 8,
-      failAfterUnits: Option[Int] = None): Result = {
+      failAfterUnits: Option[Int] = None,
+      waveSize: Int = 128): Result = {
     val base = t.currentSnapshot
     val files = t.snapshotFiles(base)
     val bins = plan(files, targetBytes)
@@ -93,25 +103,36 @@ object Compact {
 
     val already = Lineage.committedUnits(t.root, jid)
     val todo = bins.indices.filterNot(already.contains)
+    val waves = todo.grouped(math.max(1, waveSize)).toSeq
 
+    // Wave jobs need Union to CONCATENATE child partitions (see
+    // GraftSession); set defensively for externally-built sessions.
+    t.spark.conf.set("spark.sql.unionOutputPartitioning", "false")
     val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrentBins))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val executed = new java.util.concurrent.atomic.AtomicInteger(0)
     try {
-      val futures = todo.map { binIdx =>
+      val futures = waves.map { waveBins =>
         Future {
-          val bin = bins(binIdx)
           val t0 = System.nanoTime()
-          val df = t.spark.read.schema(t.schema)
-            .parquet(bin.map(_.absPath(t.root)): _*)
-          val out = t.writeDataFiles(df.coalesce(1))
-          val done = executed.incrementAndGet()
-          failAfterUnits.foreach { k =>
-            if (done > k) throw new RuntimeException(s"injected failure after $k units")
+          val children = waveBins.map { binIdx =>
+            t.spark.read.schema(t.schema)
+              .parquet(bins(binIdx).map(_.absPath(t.root)): _*)
+              .coalesce(1)
           }
-          Lineage.commitUnit(t.root, UnitLineage(jid, binIdx, bin.map(_.path), out,
-            out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum,
-            (System.nanoTime() - t0) / 1000000))
+          val waveDf = children.reduce(_ unionAll _)
+          val out = t.writeDataFiles(waveDf) // sorted by path = part index order
+          require(out.size == waveBins.size,
+            s"wave output mismatch: ${out.size} files for ${waveBins.size} bins")
+          val elapsed = (System.nanoTime() - t0) / 1000000
+          waveBins.zip(out).foreach { case (binIdx, f) =>
+            val done = executed.incrementAndGet()
+            failAfterUnits.foreach { k =>
+              if (done > k) throw new RuntimeException(s"injected failure after $k units")
+            }
+            Lineage.commitUnit(t.root, UnitLineage(jid, binIdx,
+              bins(binIdx).map(_.path), Seq(f), f.rowCount, f.fileSizeBytes, elapsed))
+          }
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf)

@@ -128,22 +128,27 @@ class GraftTable(val root: String, val spark: SparkSession) {
   }
 
   /** Per-file stats from Parquet footers (no data re-scan, no extra Spark
-    * job — the writer already computed them). Zero-row files are dropped. */
+    * job — the writer already computed them). Zero-row files are dropped.
+    * Footers are independent; read them on a bounded parallel pool. */
   def footerStats(relDir: String): Seq[DataFileMeta] = {
+    import scala.jdk.CollectionConverters._
     val dir = Paths.get(s"$root/$relDir")
     val sch = schema
     val rootAbs = Paths.get(root).toAbsolutePath
-    val files = Files.list(dir).iterator()
-    val out = scala.collection.mutable.ArrayBuffer[DataFileMeta]()
-    while (files.hasNext) {
-      val p = files.next()
-      if (p.getFileName.toString.endsWith(".parquet")) {
-        FooterStats.read(p.toAbsolutePath.toString, sch).foreach { m =>
-          out += m.copy(path = rootAbs.relativize(p.toAbsolutePath).toString)
-        }
+    val paths = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, paths.size)))
+    try {
+      val futures = paths.map { p =>
+        pool.submit(new java.util.concurrent.Callable[Option[DataFileMeta]] {
+          def call(): Option[DataFileMeta] =
+            FooterStats.read(p.toAbsolutePath.toString, sch)
+              .map(m => m.copy(path = rootAbs.relativize(p.toAbsolutePath).toString))
+        })
       }
-    }
-    out.sortBy(_.path).toSeq
+      futures.flatMap(_.get()).sortBy(_.path)
+    } finally pool.shutdown()
   }
 
   /** Per-file stats in one distributed pass. Reads only the stats columns

@@ -47,15 +47,17 @@ class CompactEndToEndSpec extends GraftSuite {
     val planned = Compact.plan(t.currentFiles, binBytes).size
     assert(planned >= 2, s"need >=2 bins to test resume, got $planned")
 
-    // Injected kill after 1 unit commits.
+    // Injected kill after 1 unit commits (waveSize=3 => several waves, so
+    // the kill lands between waves with units still outstanding).
     intercept[Exception] {
       Compact.run(t, targetBytes = binBytes, maxConcurrentBins = 1,
-        failAfterUnits = Some(1))
+        failAfterUnits = Some(1), waveSize = 3)
     }
     assert(t.currentSnapshot.operation == "append", "no snapshot must commit on kill")
 
     // Restart: resumes, re-running only the unfinished units.
-    val res = Compact.run(t, targetBytes = binBytes, maxConcurrentBins = 1)
+    val res = Compact.run(t, targetBytes = binBytes, maxConcurrentBins = 1,
+      waveSize = 3)
     assert(res.snapshot.isDefined)
     assert(res.binsResumed >= 1, s"expected resumed units, got ${res.binsResumed}")
     assert(res.binsResumed + res.binsExecuted == res.binsPlanned)

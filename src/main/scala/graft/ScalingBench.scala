@@ -80,7 +80,7 @@ object ScalingBench {
         if (d == 1) src0
         else src0.withColumn("image_id", concat(col("image_id"), lit(s"-$d")))
       }.reduce(_ unionAll _)
-      GraftTable.append(t, staged.repartition(nFiles * dupFactor))
+      GraftTable.append(t, staged.repartition(nFiles))
       val bytesIn = t.currentFiles.map(_.fileSizeBytes).sum
       val c0 = System.nanoTime()
       Compact.run(t, targetBytes = targetBytes, maxConcurrentBins = cpus)
@@ -92,6 +92,13 @@ object ScalingBench {
       System.err.println(f"[scaling] trial=$trial cpus=$cpus compact=$cSec%.2f cluster=$kSec%.2f")
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      // Free the trial's table (tmpfs capacity); the fixture dir is kept.
+      Seq(root, s"$work/warm-$cpus-$trial").foreach { d =>
+        val dp = Paths.get(d)
+        if (Files.exists(dp))
+          Files.walk(dp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }
     }
 
     def best(cpus: Int): Phase = {

@@ -30,11 +30,37 @@ object SubmitBench {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cores = spark.sparkContext.defaultParallelism
+    // defaultParallelism is 2 until executors register; for
+    // local-cluster[n,c,m] derive n*c from the master URL and wait.
+    val master = spark.sparkContext.master
+    val cores = "local-cluster\\[(\\d+),(\\d+),\\d+\\]".r
+      .findFirstMatchIn(master)
+      .map(m => m.group(1).toInt * m.group(2).toInt)
+      .getOrElse {
+        "local\\[(\\d+)\\]".r.findFirstMatchIn(master)
+          .map(_.group(1).toInt)
+          .getOrElse(spark.sparkContext.defaultParallelism)
+      }
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.sparkContext.defaultParallelism < cores &&
+           System.currentTimeMillis() < deadline) Thread.sleep(500)
     spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
 
     val src = spark.read.parquet(srcDir)
     val nFiles = src.inputFiles.length
+
+    // Untimed warm-up: JIT/codegen the read+write+commit paths on EVERY
+    // executor before timing (matters most at high executor counts, where
+    // each executor otherwise spends a larger fraction of its short run
+    // compiling).
+    locally {
+      val wroot = s"$work/warm-$cores-${System.nanoTime()}"
+      val wt = GraftTable.create(wroot, spark)
+      GraftTable.append(wt, src.limit(4000).repartition(cores * 4))
+      Compact.run(wt, targetBytes = targetBytes, maxConcurrentBins = cores)
+      Cluster.run(wt, curve = "zorder", mode = "global", targetBytes = targetBytes)
+    }
+
     val root = s"$work/tbl-$cores-${System.nanoTime()}"
     val t = GraftTable.create(root, spark)
     GraftTable.append(t, src.repartition(nFiles))

@@ -15,6 +15,12 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
  */
 object ImageCodec {
 
+  /** Container format from magic bytes (png/jpg; "unknown" otherwise). */
+  def detectFmt(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpg"
+    else "unknown"
+
   def decode(bytes: Array[Byte]): BufferedImage = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "undecodable image payload")

@@ -91,12 +91,13 @@ object MergeInto {
         val joined = tgt.join(srcKeyed, Seq("image_id"), "left_outer")
           .withColumn("__wh", when(col("src_bytes").isNotNull,
             gf.decode_wh(col("src_bytes"))))
+        val fmtOf = udf((b: Array[Byte]) => graft.images.ImageCodec.detectFmt(b))
         val rewritten = joined.select(
           col("image_id"),
           coalesce(col("src_bytes"), col("bytes")).as("bytes"),
           coalesce(col("__wh.w"), col("w")).as("w"),
           coalesce(col("__wh.h"), col("h")).as("h"),
-          col("fmt"),
+          when(col("src_bytes").isNotNull, fmtOf(col("src_bytes"))).otherwise(col("fmt")).as("fmt"),
           coalesce(col("src_caption"), col("caption")).as("caption"),
           when(col("src_bytes").isNotNull, gf.phash64(col("src_bytes"))).otherwise(col("phash")).as("phash"))
         t.writeDataFiles(rewritten,
@@ -115,7 +116,8 @@ object MergeInto {
         col("src_bytes").as("bytes"),
         col("__wh.w").as("w"),
         col("__wh.h").as("h"),
-        lit("png").as("fmt"),
+        udf((b: Array[Byte]) => graft.images.ImageCodec.detectFmt(b))
+          .apply(col("src_bytes")).as("fmt"),
         coalesce(col("src_caption"), lit("")).as("caption"),
         gf.phash64(col("src_bytes")).as("phash"))
     val insertFiles =

@@ -43,16 +43,21 @@ class MergeDedupSpec extends GraftSuite {
     val t = TestFixtures.freshTable("merge-inserts")
     val img = ImageGen.drawBase(40, 30, new scala.util.Random(123))
     val png = ImageCodec.encodePng(img)
-    val src = Seq(("img-brand-new-row", "a brand new caption", png))
-      .toDF("image_id", "caption", "bytes")
+    val jpg = ImageCodec.encodeJpg(ImageGen.drawBase(24, 24, new scala.util.Random(5)))
+    val src = Seq(
+      ("img-brand-new-row", "a brand new caption", png),
+      ("img-brand-new-jpg", "a jpg insert", jpg)).toDF("image_id", "caption", "bytes")
     val before = t.scan().count()
     val res = MergeInto.run(t, src)
-    assert(res.insertedRows == 1)
-    assert(t.scan().count() == before + 1)
+    assert(res.insertedRows == 2)
+    assert(t.scan().count() == before + 2)
     val r = t.scan().filter(col("image_id") === "img-brand-new-row").collect().head
     assert(r.getAs[Int]("w") == 40 && r.getAs[Int]("h") == 30)
     assert(r.getAs[Long]("phash") == ImageCodec.phash(png))
     assert(r.getAs[String]("caption") == "a brand new caption")
+    assert(r.getAs[String]("fmt") == "png")
+    val rj = t.scan().filter(col("image_id") === "img-brand-new-jpg").collect().head
+    assert(rj.getAs[String]("fmt") == "jpg", "fmt must be detected from magic bytes")
   }
 
   test("merge dedups its own source on the natural key (longest caption wins)") {

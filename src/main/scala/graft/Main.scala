@@ -78,10 +78,26 @@ object Main {
           println(s"compact snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} bins=${r.binsPlanned} executed=${r.binsExecuted} resumed=${r.binsResumed} filesIn=${r.filesIn} filesOut=${r.filesOut} bytesIn=${r.bytesIn} bytesOut=${r.bytesOut}")
         case "cluster" =>
           val t = GraftTable.load(root, spark)
-          val r = Cluster.run(t, arg(args, "curve").getOrElse("zorder"),
-            arg(args, "mode").getOrElse("global"),
-            arg(args, "target").map(_.toLong).getOrElse(8L * 1024 * 1024))
+          val mode = arg(args, "mode").getOrElse("global")
+          val r =
+            if (mode == "incremental")
+              Cluster.runIncremental(t, arg(args, "curve").getOrElse("zorder"),
+                arg(args, "target").map(_.toLong).getOrElse(8L * 1024 * 1024))
+            else Cluster.run(t, arg(args, "curve").getOrElse("zorder"), mode,
+              arg(args, "target").map(_.toLong).getOrElse(8L * 1024 * 1024))
           println(s"cluster snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} curve=${r.curve} mode=${r.mode} filesIn=${r.filesIn} filesOut=${r.filesOut} rows=${r.rows}")
+        case "lineage" =>
+          val t = GraftTable.load(root, spark)
+          val jobs = java.nio.file.Files.list(
+            java.nio.file.Paths.get(root, "lineage")).iterator()
+          while (jobs.hasNext) {
+            val j = jobs.next().getFileName.toString
+            val units = graft.lineage.Lineage.committedUnits(root, j)
+            val snap = graft.lineage.Lineage.committedSnapshot(root, j)
+            println(s"job=$j units=${units.size} committedSnapshot=${snap.getOrElse("-")}" +
+              s" rows=${units.values.map(_.rows).sum} bytes=${units.values.map(_.bytes).sum}" +
+              s" filesIn=${units.values.map(_.filesIn.size).sum} filesOut=${units.values.map(_.filesOut.size).sum}")
+          }
         case "rewrite-manifests" =>
           val t = GraftTable.load(root, spark)
           val r = RewriteManifests.run(t,

@@ -43,13 +43,33 @@ object Cluster {
     case other => throw new IllegalArgumentException(s"unknown curve: $other")
   }
 
+  /** Incremental clustering: rewrite only the files added since the last
+    * cluster snapshot (groups mode), leaving already-clustered files
+    * untouched — the steady-state maintenance path at 10^12-row scale where
+    * a full re-sort is never affordable. Appended data arrives unclustered;
+    * this folds it into curve-ordered files; periodic `global` runs restore
+    * a fully non-overlapping layout if range overlap accumulates. */
+  def runIncremental(t: GraftTable,
+      curve: String = "zorder",
+      targetBytes: Long = 8L * 1024 * 1024,
+      maxConcurrentGroups: Int = 8): Result = {
+    val clustered: Set[String] = t.meta.snapshots
+      .filter(_.operation == "cluster")
+      .sortBy(_.snapshotId).lastOption
+      .map(s => t.snapshotFiles(s).map(_.path).toSet)
+      .getOrElse(Set.empty)
+    run(t, curve, "groups", targetBytes, maxConcurrentGroups,
+      only = Some(t.currentFiles.filterNot(f => clustered.contains(f.path))))
+  }
+
   def run(t: GraftTable,
       curve: String = "zorder",
       mode: String = "global",
       targetBytes: Long = 8L * 1024 * 1024,
-      maxConcurrentGroups: Int = 8): Result = {
+      maxConcurrentGroups: Int = 8,
+      only: Option[Seq[graft.table.DataFileMeta]] = None): Result = {
     val base = t.currentSnapshot
-    val files = t.snapshotFiles(base)
+    val files = only.getOrElse(t.snapshotFiles(base))
     if (files.isEmpty) return Result(None, "", mode, curve, 0, 0, 0, 0)
     val bytesIn = files.map(_.fileSizeBytes).sum
     val jid = Compact.jobId(s"cluster-$mode-$curve", base.snapshotId,

@@ -55,6 +55,27 @@ class ClusterSpec extends GraftSuite {
     assert(snapshotReplay(t) == before)
   }
 
+  test("incremental cluster rewrites only files appended since the last cluster") {
+    val t = TestFixtures.freshTable("cluster-incremental")
+    Cluster.run(t, curve = "zorder", mode = "global", targetBytes = 192L * 1024)
+    val clusteredFiles = t.currentFiles.map(_.path).toSet
+    GraftTable.append(t, graft.images.ImageGen.df(spark, 80, seed = 11L, partitions = 4))
+    val before = snapshotReplay(t)
+
+    val res = Cluster.runIncremental(t, curve = "zorder", targetBytes = 192L * 1024)
+    assert(res.snapshot.isDefined)
+    assert(res.filesIn == 4, s"only the 4 appended files should be clustered, got ${res.filesIn}")
+    val after = t.currentFiles.map(_.path).toSet
+    assert(clusteredFiles.subsetOf(after), "previously clustered files must be untouched")
+    assert(snapshotReplay(t) == before)
+
+    // Nothing new appended => incremental run is a no-op.
+    val res2 = Cluster.runIncremental(t, targetBytes = 192L * 1024)
+    assert(res2.snapshot.isEmpty && res2.filesIn == 0)
+  }
+
+  private val GraftTable = graft.table.GraftTable
+
   test("curve expressions agree with the pure-Scala functions on table data") {
     val t = TestFixtures.baseTable
     val rows = t.scan().select(col("phash"), col("w"), col("h"),

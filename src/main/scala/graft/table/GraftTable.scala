@@ -88,16 +88,21 @@ class GraftTable(val root: String, val spark: SparkSession) {
     * maintenance commits do not change what this DataFrame reads —
     * the engine's analog of the reference's namespace isolation
     * (core/src/namespace.ts:17-23). */
-  def scan(snapshotId: Option[Long] = None): DataFrame = {
-    val s = snapshotId.flatMap(meta.snapshot).getOrElse(currentSnapshot)
-    readFiles(snapshotFiles(s))
-  }
+  def scan(snapshotId: Option[Long] = None): DataFrame =
+    readFiles(snapshotFiles(resolveSnapshot(snapshotId)))
+
+  private def resolveSnapshot(snapshotId: Option[Long]): Snapshot =
+    snapshotId match {
+      case None => currentSnapshot
+      case Some(id) => meta.snapshot(id).getOrElse(throw new IllegalArgumentException(
+        s"unknown snapshot id $id (known: ${meta.snapshots.map(_.snapshotId).mkString(",")})"))
+    }
 
   /** Pruned scan: drop whole files whose min/max stats refute the filters,
     * then apply the filters row-level (Parquet row-group pruning + codegen
     * handle the rest). */
   def scanWhere(filters: Seq[PruneFilter], snapshotId: Option[Long] = None): DataFrame = {
-    val s = snapshotId.flatMap(meta.snapshot).getOrElse(currentSnapshot)
+    val s = resolveSnapshot(snapshotId)
     val files = snapshotFiles(s).filter(f => filters.forall(PruneFilter.mayMatch(f, _)))
     val df = readFiles(files)
     filters.foldLeft(df)((d, f) => d.filter(PruneFilter.toColumn(f)))

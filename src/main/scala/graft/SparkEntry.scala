@@ -524,6 +524,18 @@ object SparkEntry {
         """SELECT doc_id,
           |  'doc:' || regexp_replace(translate(base64(encode(
           |    source || '/' || doc_id)), '+/', '-_'), '=+$', '') AS doc_uid
-          |FROM documents""".stripMargin)
+          |FROM documents""".stripMargin,
+      "q28_zorder" -> {
+        // The bit-interleave written out as 63 additive bit terms — an exact
+        // SQL restatement of Curves.zorder3 (21 bits per dim, dim0 = low lane).
+        val terms = (0 until 21).flatMap { i => Seq(
+          s"(((l_partkey >> $i) & 1) << ${3 * i})",
+          s"(((l_suppkey >> $i) & 1) << ${3 * i + 1})",
+          s"(((l_orderkey >> $i) & 1) << ${3 * i + 2})")
+        }.mkString(" + ")
+        s"""SELECT l_returnflag, min(z) AS z_min, max(z) AS z_max, count(*) AS cnt
+           |FROM (SELECT l_returnflag, CAST($terms AS BIGINT) AS z FROM lineitem)
+           |GROUP BY 1""".stripMargin
+      })
   }
 }

@@ -31,6 +31,8 @@ object SparkEntry {
   // helpers shared between dialects
 
   private val Stopwords = Seq("the", "a", "to", "of")
+  /** 59-bit probe constant for q30 (fits the 60-bit md5-prefix signature). */
+  private val HammingProbe = 0x5A5A5A5A5A5A5A5L
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a"), "fr" -> Seq("le", "et"), "de" -> Seq("der", "und"),
     "es" -> Seq("el", "y"), "zh" -> Seq("zh0", "zh1"))
@@ -165,16 +167,18 @@ object SparkEntry {
         min(md5(concat(col("w"), lit("2")))).as("mh2"),
         min(md5(concat(col("w"), lit("3")))).as("mh3"))),
 
-    // MinHash LSH banding: collision-bucket histogram per band.
+    // MinHash LSH banding: collision-bucket histogram per band. Single-pass
+    // unpivot (stack) of the signature aggregation — the per-band-union form
+    // re-executed the whole q17 explode+groupBy once per band (4x the cost,
+    // and at 100 TB the signature pass IS the cost).
     "q18_minhash_bands" -> ((s, d) => {
       val sig = queries("q17_minhash")(s, d)
-      (0 to 3).map { b =>
-        sig.groupBy(col(s"mh$b").as("bucket"))
-          .agg(count(lit(1)).as("sz")).filter(col("sz") > 1)
-          .agg(coalesce(count(lit(1)), lit(0L)).as("n_buckets"),
-            coalesce(sum(col("sz")), lit(0L)).as("n_docs"))
-          .withColumn("band", lit(b.toLong))
-      }.reduce(_ unionByName _).select(col("band"), col("n_buckets"), col("n_docs"))
+      sig.select(expr("stack(4, 0L, mh0, 1L, mh1, 2L, mh2, 3L, mh3) as (band, bucket)"))
+        .groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("sz")).filter(col("sz") > 1)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("sz")).as("n_docs"))
+        .select(col("band"), col("n_buckets"), col("n_docs"))
     }),
 
     // N-gram (word-set) Jaccard between adjacent doc pairs.
@@ -293,11 +297,13 @@ object SparkEntry {
       .agg(min(col("hk")).as("h_min"), max(col("hk")).as("h_max"),
         count(lit(1)).as("cnt"))),
 
-    // Hamming-distance top-k over synthetic 64-bit signatures (rows-only;
-    // engine's phash-neighborhood query shape, FIXTURES.md §1).
+    // Hamming-distance top-k over synthetic 60-bit signatures — the engine's
+    // phash-neighborhood query shape (FIXTURES.md §1). The signature is the
+    // first 15 hex chars of md5 parsed as an integer, computable identically
+    // in Spark (conv) and DuckDB (hex-string cast) so the oracle is exact.
     "q30_hamming_topk" -> ((s, d) => ld(s, d, "customer")
-      .withColumn("sig", xxhash64(col("c_name")))
-      .withColumn("dist", gf.hamming(col("sig"), lit(0x5a5a5a5a5a5a5a5aL)))
+      .withColumn("sig", conv(substring(md5(col("c_name")), 1, 15), 16, 10).cast("long"))
+      .withColumn("dist", gf.hamming(col("sig"), lit(HammingProbe)).cast("long"))
       .orderBy(col("dist").asc, col("c_custkey").asc).limit(25)
       .select(col("c_custkey"), col("dist"))),
 
@@ -423,9 +429,9 @@ object SparkEntry {
           |    min(md5(w || '2')) AS mh2, min(md5(w || '3')) AS mh3
           |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
           |        FROM documents) GROUP BY 1)
-          |SELECT band, coalesce(count(*), 0) AS n_buckets,
-          |  coalesce(sum(sz), 0) AS n_docs FROM (
-          |  SELECT 0 AS band, mh0 AS bucket, count(*) AS sz FROM sig GROUP BY 2 HAVING count(*) > 1
+          |SELECT band, count(*) AS n_buckets,
+          |  CAST(sum(sz) AS BIGINT) AS n_docs FROM (
+          |  SELECT CAST(0 AS BIGINT) AS band, mh0 AS bucket, count(*) AS sz FROM sig GROUP BY 2 HAVING count(*) > 1
           |  UNION ALL
           |  SELECT 1, mh1, count(*) FROM sig GROUP BY 2 HAVING count(*) > 1
           |  UNION ALL
@@ -462,7 +468,9 @@ object SparkEntry {
           |  count(*) AS n_vectors, count(DISTINCT label) AS n_labels
           |FROM embeddings GROUP BY 1""".stripMargin,
       "q23_tokens" ->
-        """SELECT lang, sum(len(string_split(text, ' '))) AS total_tokens,
+        // CAST: DuckDB integer sums are HUGEINT; the driver's hash is
+        // type-sensitive, Spark side is BIGINT.
+        """SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
           |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
           |FROM documents GROUP BY 1""".stripMargin,
       "q24_quality" ->
@@ -536,6 +544,65 @@ object SparkEntry {
         s"""SELECT l_returnflag, min(z) AS z_min, max(z) AS z_max, count(*) AS cnt
            |FROM (SELECT l_returnflag, CAST($terms AS BIGINT) AS z FROM lineitem)
            |GROUP BY 1""".stripMargin
-      })
+      },
+      "q29_hilbert" -> hilbertOracleSql,
+      "q30_hamming_topk" ->
+        s"""SELECT c_custkey,
+           |  CAST(bit_count(xor(CAST('0x' || substr(md5(c_name), 1, 15) AS BIGINT),
+           |    $HammingProbe)) AS BIGINT) AS dist
+           |FROM customer ORDER BY dist ASC, c_custkey ASC LIMIT 25""".stripMargin)
+  }
+
+  /**
+   * DuckDB restatement of Curves.hilbertIndex (Skilling 2004, 3 dims x 21
+   * bits) with every loop unrolled: 20 q-iterations x 3 per-dim steps as
+   * chained CTEs, then the Gray encode, the t2 correction fold, and the
+   * 63-term transposed-bit interleave — an exact, independently computed
+   * oracle for q29 (same construction as q28's 63-bit-term z-order oracle).
+   */
+  private def hilbertOracleSql: String = {
+    val bits = 21
+    val mask = (1L << bits) - 1
+    val sb = new StringBuilder
+    sb ++= s"WITH c0 AS (SELECT l_returnflag, l_partkey & $mask AS x0, " +
+      s"l_suppkey & $mask AS x1, l_orderkey & $mask AS x2 FROM lineitem)"
+    var prev = "c0"
+    var idx = 0
+    def step(selectList: String): Unit = {
+      idx += 1
+      sb ++= s", c$idx AS (SELECT l_returnflag, $selectList FROM $prev)"
+      prev = s"c$idx"
+    }
+    // AxestoTranspose: for q = 2^(bits-1) .. 2, per dim i: invert x0 by q-1
+    // if bit q of x(i) is set, else exchange the low q-1 bits of x0 and x(i)
+    // where they differ. i=0's exchange is a no-op (t = (x0^x0)&p = 0).
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      step(s"CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p) ELSE x0 END AS x0, x1, x2")
+      step(s"CASE WHEN (x1 & $q) <> 0 THEN xor(x0, $p) " +
+        s"ELSE xor(x0, xor(x0, x1) & $p) END AS x0, " +
+        s"CASE WHEN (x1 & $q) <> 0 THEN x1 ELSE xor(x1, xor(x0, x1) & $p) END AS x1, x2")
+      step(s"CASE WHEN (x2 & $q) <> 0 THEN xor(x0, $p) " +
+        s"ELSE xor(x0, xor(x0, x2) & $p) END AS x0, x1, " +
+        s"CASE WHEN (x2 & $q) <> 0 THEN x2 ELSE xor(x2, xor(x0, x2) & $p) END AS x2")
+      q >>= 1
+    }
+    // Gray encode: x1 ^= x0; x2 ^= (new) x1.
+    step("x0, xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2")
+    // t2 fold over bits 1..20 of x2, applied to every dim.
+    val t2 = (1 until bits).map(b =>
+        s"CASE WHEN (x2 & ${1L << b}) <> 0 THEN ${(1L << b) - 1} ELSE 0 END")
+      .reduce((a, b) => s"xor($a, $b)")
+    idx += 1
+    sb ++= s", c$idx AS (SELECT l_returnflag, xor(x0, t2) AS x0, xor(x1, t2) AS x1, " +
+      s"xor(x2, t2) AS x2 FROM (SELECT l_returnflag, x0, x1, x2, $t2 AS t2 FROM $prev))"
+    prev = s"c$idx"
+    // Interleave transposed form: bit b of dim i lands at 3*b + (2-i).
+    val terms = (0 until bits).flatMap(b => (0 until 3).map(i =>
+      s"(((x$i >> $b) & 1) << ${3 * b + (2 - i)})")).mkString(" + ")
+    sb ++= s" SELECT l_returnflag, min(hk) AS h_min, max(hk) AS h_max, count(*) AS cnt " +
+      s"FROM (SELECT l_returnflag, CAST($terms AS BIGINT) AS hk FROM $prev) GROUP BY 1"
+    sb.toString
   }
 }

@@ -106,7 +106,12 @@ object Main {
         case "expire" =>
           val t = GraftTable.load(root, spark)
           val retain = req(args, "retain").split(",").map(_.trim.toLong).toSeq
-          val r = ExpireSnapshots.run(t, retain)
+          // Conservative default (1h): never sweep a file an in-flight job
+          // just wrote but has not committed yet. --orphan-min-age-ms 0 for
+          // single-writer setups that want an immediate sweep.
+          val r = ExpireSnapshots.run(t, retain,
+            orphanMinAgeMs = arg(args, "orphan-min-age-ms").map(_.toLong)
+              .getOrElse(60L * 60 * 1000))
           println(s"expire retained=${r.retainedSnapshots.mkString(",")} expired=${r.expiredSnapshots.mkString(",")} deletedFiles=${r.deletedDataFiles} deletedBytes=${r.deletedBytes} orphans=${r.orphansSwept}")
         case "dedup" =>
           val t = GraftTable.load(root, spark)

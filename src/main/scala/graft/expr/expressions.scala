@@ -84,8 +84,37 @@ case class DecodeWH(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): DecodeWH = copy(c)
 }
 
+/**
+ * Maps a long sort key to a hash-partitioning REPRESENTATIVE value such that
+ * `repartition(n, col)` places the key's range bucket exactly at partition
+ * index = bucket index. `bounds` are ascending range boundaries (bucket = #
+ * of bounds <= key, via binary search); `reps(i)` is a precomputed long whose
+ * Murmur3 hash pmod n equals i (see [[graft.jobs.Cluster.partitionReps]]).
+ *
+ * This is the engine's exact-range exchange: the standard
+ * `repartitionByRange` samples by EXECUTING the child twice — including the
+ * image payload — while this expression needs only driver-computed bounds.
+ */
+case class RangeRep(child: Expression, bounds: Array[Long], reps: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    reps(ExprOps.rangeBucket(bounds, v.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("bounds", bounds, "long[]")
+    val r = ctx.addReferenceObj("reps", reps, "long[]")
+    defineCodeGen(ctx, ev, c => s"$r[graft.expr.ExprOps.rangeBucket($b, $c)]")
+  }
+  override protected def withNewChildInternal(c: Expression): RangeRep = copy(child = c)
+}
+
 /** Static helpers referenced from generated code. */
 object ExprOps {
+  /** Bucket of `v` given ascending boundaries: the count of bounds <= v. */
+  def rangeBucket(bounds: Array[Long], v: Long): Int = {
+    val i = java.util.Arrays.binarySearch(bounds, v)
+    if (i >= 0) i + 1 else -i - 1
+  }
   def psnrClamped(a: Array[Byte], b: Array[Byte]): Double = {
     val v = graft.images.ImageCodec.psnrBytes(a, b)
     if (v.isInfinite) 999.0 else v
@@ -108,6 +137,8 @@ object functions {
     c(HilbertIndex64(e(a), e(b), e(cc)))
   def psnr(a: Column, b: Column): Column = c(Psnr(e(a), e(b)))
   def decode_wh(bytes: Column): Column = c(DecodeWH(e(bytes)))
+  def range_rep(key: Column, bounds: Array[Long], reps: Array[Long]): Column =
+    c(RangeRep(e(key), bounds, reps))
 
   /** Hamming distance between two phash values — composed from built-ins
     * (stays fully codegen'd). */

@@ -1,5 +1,6 @@
 package graft.jobs
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.expr.{functions => gf}
@@ -82,9 +83,16 @@ object Cluster {
       case "global" =>
         val numFiles = math.max(1, math.ceil(bytesIn.toDouble / targetBytes).toInt)
         val t0 = System.nanoTime()
+        // Boundary pass on a PROJECTION of the curve key only: Parquet column
+        // pruning never reads the image payload, so the table's bytes are
+        // read once, in the rewrite pass — repartitionByRange's sampling
+        // would execute the payload-bearing child a second time.
+        val bounds = curveBoundaries(
+          t.scan(Some(base.snapshotId)).select(curveCol(curve).as("__ck")),
+          numFiles)
         val df = t.scan(Some(base.snapshotId)).withColumn("__ck", curveCol(curve))
         val out = t.writeDataFiles(
-          df.repartitionByRange(numFiles, col("__ck"))
+          rangeExchange(df, col("__ck"), bounds)
             .sortWithinPartitions(col("__ck"))
             .drop("__ck"))
         Lineage.commitUnit(t.root, UnitLineage(jid, 0, files.map(_.path), out,
@@ -107,10 +115,11 @@ object Cluster {
               val g = groups(gi)
               val t0 = System.nanoTime()
               val n = math.max(1, math.ceil(g.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
-              val df = t.spark.read.schema(t.schema).parquet(g.map(_.absPath(t.root)): _*)
-                .withColumn("__ck", curveCol(curve))
+              def read() = t.spark.read.schema(t.schema).parquet(g.map(_.absPath(t.root)): _*)
+              val bounds = curveBoundaries(read().select(curveCol(curve).as("__ck")), n)
+              val df = read().withColumn("__ck", curveCol(curve))
               val out = t.writeDataFiles(
-                df.repartitionByRange(n, col("__ck"))
+                rangeExchange(df, col("__ck"), bounds)
                   .sortWithinPartitions(col("__ck")).drop("__ck"))
               Lineage.commitUnit(t.root, UnitLineage(jid, gi, g.map(_.path), out,
                 out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum,
@@ -128,6 +137,48 @@ object Cluster {
     Lineage.markCommitted(t.root, jid, snap.snapshotId)
     Result(Some(snap), jid, mode, curve, files.size, added.size, bytesIn,
       added.map(_.rowCount).sum)
+  }
+
+  /** Range boundaries for `numParts` balanced buckets of the `__ck` column:
+    * one approx-quantile pass over the key projection (no payload IO, no
+    * shuffle — a sketch per partition merged on the driver). Duplicate
+    * quantiles (skewed keys) collapse; the exchange then just has fewer,
+    * non-empty buckets. */
+  def curveBoundaries(proj: DataFrame, numParts: Int): Array[Long] = {
+    if (numParts <= 1) return Array.empty
+    val probs = (1 until numParts).map(_.toDouble / numParts).toArray
+    val relErr = math.max(1e-4, 0.25 / numParts)
+    proj.stat.approxQuantile("__ck", probs, relErr)
+      .map(_.toLong).distinct.sorted
+  }
+
+  /** Exact range exchange: bucket each row by driver-computed `bounds`
+    * (codegen'd binary search) and hash-repartition on a REPRESENTATIVE value
+    * chosen so bucket i lands exactly at partition i — a range partitioning
+    * with zero sampling executions of the child. */
+  def rangeExchange(df: DataFrame, ck: Column, bounds: Array[Long]): DataFrame = {
+    val n = bounds.length + 1
+    if (n == 1) return df.repartition(1)
+    df.withColumn("__rep", gf.range_rep(ck, bounds, partitionReps(n)))
+      .repartition(n, col("__rep"))
+      .drop("__rep")
+  }
+
+  /** reps(i) = smallest non-negative long whose Spark Murmur3 hash pmod n is
+    * i, so HashPartitioning(reps(bucket), n) == bucket. Coupon-collector cost
+    * ~n ln n driver-side hashes — microseconds at any realistic file count. */
+  def partitionReps(n: Int): Array[Long] = {
+    val reps = new Array[Long](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var v = 0L
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; reps(p) = v; remaining -= 1 }
+      v += 1
+    }
+    reps
   }
 
   /** Greedy size-ordered grouping (first-fit) of files into rewrite groups. */

@@ -119,9 +119,14 @@ object DedupPhash {
         exactVictims.union(nearVictims).distinct()
       }
 
-    val vCount = victims.count()
-    if (vCount == 0) return Result(None, 0, 0, 0, mode)
-    val victimsB = broadcast(victims)
+    // Victims are DATA-scale (a dup-heavy table can make them a large
+    // fraction of all rows), so no broadcast hint — AQE picks the join
+    // strategy from the measured size. Persisted because the set is used
+    // twice (affected-file discovery, then the COW anti-join) and its plan
+    // (salted agg + LSH + label propagation) is expensive to recompute.
+    val victimsB = victims.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vCount = victimsB.count()
+    if (vCount == 0) { victimsB.unpersist(); return Result(None, 0, 0, 0, mode) }
 
     // Affected files (paths only to the driver), then COW rewrite minus
     // victims — same anti-join shape as the reference's refcount delete
@@ -145,6 +150,7 @@ object DedupPhash {
         affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
 
     val dupGroups = exactCanon.count()
+    victimsB.unpersist()
     val snap = t.commit("merge", rewritten, affected.map(_.path).toSet,
       Map("op" -> "dedup", "mode" -> mode, "victims" -> vCount.toString))
     Result(Some(snap), dupGroups, vCount, affected.size, mode)

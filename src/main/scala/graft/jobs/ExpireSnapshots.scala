@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.table.{GraftTable, MetaIO, TableMetadata}
 
@@ -15,15 +16,18 @@ import graft.table.{GraftTable, MetaIO, TableMetadata}
  * Direct re-grounding of the reference's refcounted orphan cleanup
  * (pipeline/src/indexing/pipeline.ts:263-308: delete entities whose
  * sourceChunkIds refcount drains to zero) and its depth-limited traversal
- * (sqlite-graph-storage.ts:201-226): the live set is computed by frontier
- * expansion over an edge DataFrame, then the universe of files/manifests is
- * anti-joined against it (U3/J3) — never deleting anything reachable from a
- * retained snapshot, no matter how many snapshots share a manifest.
+ * (sqlite-graph-storage.ts:201-226): manifest liveness is computed by
+ * frontier expansion over the snapshot->manifest edge DataFrame, and file
+ * liveness by a distributed anti-join (U3) of the dead manifests' file
+ * entries against the live manifests' — never deleting anything reachable
+ * from a retained snapshot, no matter how many snapshots share a manifest.
  *
- * Scale design: edges live in DataFrames (at 10^12-row scale, manifests hold
- * millions of file entries — a driver-side set would not fly); the loop is a
- * handful of joins (metadata tree depth is 2), and only the final deletion
- * list is collected, partition-batched.
+ * Scale design: the live FILE set is never materialized on the driver (at
+ * 10^12-row scale manifests hold ~10^6-10^8 file entries — hundreds of MB of
+ * path strings). Manifests are read as a distributed JSON scan; liveness is
+ * a left-anti join; only the (bounded) DELETION list streams back, batched
+ * via toLocalIterator. Manifest NAMES (one per ~1000 files) stay driver-side
+ * — metadata scale, same as every commit.
  */
 object ExpireSnapshots {
 
@@ -54,8 +58,25 @@ object ExpireSnapshots {
     visited
   }
 
+  /** (path, fileSizeBytes) of every file entry in `manifests`, read as a
+    * DISTRIBUTED json scan of the manifest files (schema-projected: stats
+    * maps never deserialize). Empty manifest list -> empty frame. */
+  private def manifestFilesDf(t: GraftTable, manifests: Seq[String]): DataFrame = {
+    val spark = t.spark
+    val entry = StructType(Seq(
+      StructField("path", StringType), StructField("fileSizeBytes", LongType)))
+    val sch = StructType(Seq(StructField("files", ArrayType(entry))))
+    if (manifests.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(entry.fields))
+    val paths = manifests.map(m => MetaIO.metadataDir(t.root).resolve(m).toString)
+    spark.read.schema(sch).json(paths: _*)
+      .select(explode(col("files")).as("f"))
+      .select(col("f.path").as("path"), col("f.fileSizeBytes").as("fileSizeBytes"))
+  }
+
   def run(t: GraftTable, retain: Seq[Long], deleteFiles: Boolean = true,
-      sweepOrphans: Boolean = true, orphanMinAgeMs: Long = 0L): Result = {
+      sweepOrphans: Boolean = true, orphanMinAgeMs: Long = 60L * 60 * 1000): Result = {
     val spark = t.spark
     import spark.implicits._
     val m = t.meta
@@ -65,72 +86,107 @@ object ExpireSnapshots {
     val known = m.snapshots.map(_.snapshotId).toSet
     require(retainSet.subsetOf(known), s"unknown snapshot ids: ${retainSet -- known}")
 
-    // Edge DataFrame over the metadata tree.
+    // Manifest liveness: reachability over the (small) snapshot->manifest
+    // edge frame. Manifest names are metadata-scale (~1 per 1000 files).
     val snapManifest = m.snapshots
       .flatMap(s => s.manifests.map(mf => (s"snap:${s.snapshotId}", s"man:$mf")))
-    val manFile = m.snapshots.flatMap(_.manifests).distinct
-      .flatMap(mf => MetaIO.readManifest(t.root, mf).files
-        .map(f => (s"man:$mf", s"file:${f.path}")))
-    val edges = (snapManifest ++ manFile).toDF("src", "dst")
     val seeds = retainSet.toSeq.map(id => s"snap:$id").toDF("node")
-
-    val live = reachable(spark, edges, seeds).as[String].collect().toSet
-
+    val liveManifests = reachable(spark, snapManifest.toDF("src", "dst"), seeds)
+      .as[String].collect().collect { case s if s.startsWith("man:") => s.stripPrefix("man:") }
+      .toSet
     val allManifests = m.snapshots.flatMap(_.manifests).distinct
-    val allFiles = allManifests
-      .flatMap(mf => MetaIO.readManifest(t.root, mf).files).distinctBy(_.path)
-    val deadManifests = allManifests.filterNot(mf => live.contains(s"man:$mf"))
-    val deadFiles = allFiles.filterNot(f => live.contains(s"file:${f.path}"))
+    val deadManifests = allManifests.filterNot(liveManifests.contains)
+
+    // File liveness: distributed anti-join; only the DELETION list is
+    // collected, in partition batches. The live set never leaves the cluster.
+    val liveFiles = manifestFilesDf(t, liveManifests.toSeq.sorted)
+    val deadFiles = manifestFilesDf(t, deadManifests)
+      .join(liveFiles, Seq("path"), "left_anti")
+      .groupBy(col("path")).agg(max(col("fileSizeBytes")).as("fileSizeBytes"))
 
     // Commit new metadata first (CAS), then physically delete: a crash
     // between the two only leaves sweepable orphans, never dangling refs.
+    // Retry semantics under concurrent writers: snapshots committed AFTER
+    // planning are preserved (they descend from a retained snapshot, so
+    // their manifests/files are live by construction), and the refreshed
+    // current pointer is re-validated each attempt.
     var attempts = 0
     var committed = false
     while (!committed) {
       attempts += 1
       val (v, cur) = MetaIO.load(t.root).get
-      val nm: TableMetadata = cur.copy(
-        snapshots = cur.snapshots.filter(s => retainSet.contains(s.snapshotId)))
+      val keep = cur.snapshots.filter(s =>
+        retainSet.contains(s.snapshotId) || !known.contains(s.snapshotId))
+      require(cur.currentSnapshotId.forall(id => keep.exists(_.snapshotId == id)),
+        "concurrent commit moved the current snapshot to an id this expire would drop")
+      val nm: TableMetadata = cur.copy(snapshots = keep)
       committed = MetaIO.tryCommit(t.root, v, nm)
       if (attempts > 20) throw new IllegalStateException("expire: CAS contention")
     }
 
     var deletedBytes = 0L
+    var deletedFiles = 0L
     if (deleteFiles) {
-      deadFiles.foreach { f =>
-        val p = Paths.get(f.absPath(t.root))
-        if (Files.deleteIfExists(p)) deletedBytes += f.fileSizeBytes
+      // Bounded driver memory: stream the deletion list partition by
+      // partition instead of one big collect.
+      val it = deadFiles.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val p = Paths.get(t.root, r.getString(0))
+        if (Files.deleteIfExists(p)) {
+          deletedBytes += r.getLong(1); deletedFiles += 1
+        }
       }
       deadManifests.foreach(mf =>
         Files.deleteIfExists(MetaIO.metadataDir(t.root).resolve(mf)))
     }
 
+    // Manifest-orphan sweep: manifest files on disk referenced by no
+    // snapshot at all (lost CAS attempts write manifests first) — metadata
+    // scale, age-guarded like data orphans.
+    if (deleteFiles) {
+      val mdDir = MetaIO.metadataDir(t.root)
+      val referenced = t.meta.snapshots.flatMap(_.manifests).toSet
+      val now = System.currentTimeMillis()
+      Files.list(mdDir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("manifest-") &&
+          !referenced.contains(p.getFileName.toString) &&
+          now - Files.getLastModifiedTime(p).toMillis >= orphanMinAgeMs)
+        .foreach(Files.deleteIfExists(_))
+    }
+
     // Orphan sweep: data files on disk referenced by NO manifest of any
     // retained snapshot (e.g. outputs of killed, never-committed units).
+    // The disk listing is driver-side (a storage-API LIST); liveness is the
+    // same distributed anti-join, so the live set again stays distributed.
     var orphans = 0L
     if (sweepOrphans && deleteFiles) {
-      val liveFilePaths = t.meta.snapshots
-        .flatMap(_.manifests).distinct
-        .flatMap(mf => MetaIO.readManifest(t.root, mf).files.map(_.path)).toSet
       val dataDir = Paths.get(t.root, "data")
       if (Files.exists(dataDir)) {
-        Files.walk(dataDir).iterator().asScala
+        val rootAbs = Paths.get(t.root).toAbsolutePath
+        val now = System.currentTimeMillis()
+        val onDisk = Files.walk(dataDir).iterator().asScala
           .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          .foreach { p =>
-            val rel = Paths.get(t.root).toAbsolutePath.relativize(p.toAbsolutePath).toString
+          .collect {
             // Min-age guard: an in-flight job's just-written unit outputs are
             // not yet in any manifest; only sweep files old enough that no
             // live writer can still be about to commit them.
-            val oldEnough = System.currentTimeMillis() -
-              Files.getLastModifiedTime(p).toMillis >= orphanMinAgeMs
-            if (!liveFilePaths.contains(rel) && oldEnough) {
-              Files.deleteIfExists(p); orphans += 1
-            }
+            case p if now - Files.getLastModifiedTime(p).toMillis >= orphanMinAgeMs =>
+              rootAbs.relativize(p.toAbsolutePath).toString
+          }.toSeq
+        if (onDisk.nonEmpty) {
+          val sweepIt = onDisk.toDF("path")
+            .join(liveFiles.select("path"), Seq("path"), "left_anti")
+            .toLocalIterator()
+          while (sweepIt.hasNext) {
+            val rel = sweepIt.next().getString(0)
+            if (Files.deleteIfExists(Paths.get(t.root, rel))) orphans += 1
           }
+        }
       }
     }
 
     Result(retainSet.toSeq.sorted, (known -- retainSet).toSeq.sorted,
-      deadManifests.size, deadFiles.size, deletedBytes, orphans)
+      deadManifests.size, deletedFiles, deletedBytes, orphans)
   }
 }

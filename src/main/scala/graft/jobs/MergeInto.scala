@@ -61,9 +61,16 @@ object MergeInto {
         struct(length(col("src_caption")), col("src_caption"))).as("s"))
       .select(col("image_id"), col("s.src_caption"), col("s.src_bytes"))
 
-    // Rough source size estimate to pick the join strategy.
-    val srcCount = src.count()
-    val estBytes = srcCount * 256L // keys+captions; bytes column estimated separately
+    // Source size estimate for the join strategy — MEASURED payload, not a
+    // per-row guess: a 200k-row source carrying 1 MB images would pass a
+    // rows*256 estimate and then broadcast 200 GB. One aggregate action
+    // returns rows + actual bytes/caption volume together.
+    val srcStats = src.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(length(col("src_bytes"))), lit(0L)).as("payload"),
+      coalesce(sum(length(col("src_caption"))), lit(0L)).as("cap")).head()
+    val srcCount = srcStats.getLong(0)
+    val estBytes = srcCount * 64L + srcStats.getLong(1) + srcStats.getLong(2)
     val useBroadcast = estBytes <= broadcastThresholdBytes
     val strategy = if (useBroadcast) "broadcast" else "sort-merge+aqe-skew"
     val srcKeyed = if (useBroadcast) broadcast(src) else src
@@ -120,8 +127,12 @@ object MergeInto {
           .apply(col("src_bytes")).as("fmt"),
         coalesce(col("src_caption"), lit("")).as("caption"),
         gf.phash64(col("src_bytes")).as("phash"))
-    val insertFiles =
-      if (inserts.isEmpty) Nil else t.writeDataFiles(inserts.coalesce(1))
+    // Written with the anti-join's natural distribution — NOT coalesce(1),
+    // which would funnel a bulk-insert batch through a single task/file. AQE
+    // partition coalescing keeps small batches to few files; empty
+    // partitions produce no files, and footerStats drops zero-row ones, so
+    // no pre-count action is needed (the write IS the emptiness check).
+    val insertFiles = t.writeDataFiles(inserts)
     val insertedRows = insertFiles.map(_.rowCount).sum
 
     if (affected.isEmpty && insertFiles.isEmpty)

@@ -26,44 +26,48 @@ object RewriteManifests {
 
   def run(t: GraftTable, targetFilesPerManifest: Int = 1000,
       recomputeStats: Boolean = false): Result = {
-    val base = t.currentSnapshot
-    val files0 = t.snapshotFiles(base)
-    val before = base.manifests.size
-
-    // Skip-unchanged gate: already exactly one pass of well-sized manifests
-    // sorted by phash min produced by this job (marker in summary).
-    if (base.operation == "rewrite-manifests" &&
-        base.summary.get("manifest-layout").contains(layoutHash(base.manifests)))
-      return Result(None, skippedUnchanged = true, before, before, files0.size, 0)
-
-    // Optionally recompute stats by re-scanning stats columns (used when
-    // files were produced by a writer without stats).
-    var recomputed = 0
-    val files =
-      if (recomputeStats) {
-        val byDir = files0.groupBy(f => f.path.substring(0, f.path.lastIndexOf('/')))
-        byDir.flatMap { case (dir, fs) =>
-          val fresh = t.collectStats(dir).map(f => f.path -> f).toMap
-          fs.map { f => fresh.get(f.path).map { nf => recomputed += 1; nf }.getOrElse(f) }
-        }.toSeq
-      } else files0
-
-    val sorted = files.sortBy(f =>
-      (f.stats.get("phash").flatMap(_.min).map(_.toLong).getOrElse(Long.MinValue), f.path))
-    val groups = sorted.grouped(math.max(1, targetFilesPerManifest)).toSeq
-    val names = groups.map { g =>
-      val nn = s"manifest-${UUID.randomUUID().toString.take(12)}.json"
-      MetaIO.writeManifest(t.root, nn, ManifestData(g))
-      nn
-    }
-
-    // Commit a snapshot with the SAME files, new manifest organization.
+    // The whole derive-and-commit is retried from a FRESH base on CAS loss:
+    // committing manifests built from a stale file set would silently drop
+    // files a concurrent commit added (or resurrect ones it removed) — a
+    // lost update that a later expire would turn into data-file deletion.
     var attempts = 0
     while (true) {
       attempts += 1
       val (v, m) = MetaIO.load(t.root).get
-      val parent = m.currentSnapshot.get
-      val snap = Snapshot(m.nextSnapshotId, Some(parent.snapshotId),
+      val base = m.currentSnapshot.get
+      val files0 = t.snapshotFiles(base)
+      val before = base.manifests.size
+
+      // Skip-unchanged gate: already exactly one pass of well-sized manifests
+      // sorted by phash min produced by this job (marker in summary).
+      if (base.operation == "rewrite-manifests" &&
+          base.summary.get("manifest-layout").contains(layoutHash(base.manifests)))
+        return Result(None, skippedUnchanged = true, before, before, files0.size, 0)
+
+      // Optionally recompute stats by re-scanning stats columns (used when
+      // files were produced by a writer without stats).
+      var recomputed = 0
+      val files =
+        if (recomputeStats) {
+          val byDir = files0.groupBy(f => f.path.substring(0, f.path.lastIndexOf('/')))
+          byDir.flatMap { case (dir, fs) =>
+            val fresh = t.collectStats(dir).map(f => f.path -> f).toMap
+            fs.map { f => fresh.get(f.path).map { nf => recomputed += 1; nf }.getOrElse(f) }
+          }.toSeq
+        } else files0
+
+      val sorted = files.sortBy(f =>
+        (f.stats.get("phash").flatMap(_.min).map(_.toLong).getOrElse(Long.MinValue), f.path))
+      val groups = sorted.grouped(math.max(1, targetFilesPerManifest)).toSeq
+      val names = groups.map { g =>
+        val nn = s"manifest-${UUID.randomUUID().toString.take(12)}.json"
+        MetaIO.writeManifest(t.root, nn, ManifestData(g))
+        nn
+      }
+
+      // Commit a snapshot with the SAME files, new manifest organization —
+      // CAS'd against the exact version the file set was derived from.
+      val snap = Snapshot(m.nextSnapshotId, Some(base.snapshotId),
         System.currentTimeMillis(), "rewrite-manifests", names,
         Map("manifest-layout" -> layoutHash(names),
           "manifests-before" -> before.toString,
@@ -73,6 +77,8 @@ object RewriteManifests {
       if (MetaIO.tryCommit(t.root, v, nm))
         return Result(Some(snap), skippedUnchanged = false, before, names.size,
           files.size, recomputed)
+      // Lost the race: the manifests written this attempt become sweepable
+      // orphans; re-derive everything from the winner's metadata.
       if (attempts > 20) throw new IllegalStateException("rewrite-manifests: CAS contention")
     }
     throw new IllegalStateException("unreachable")

@@ -44,17 +44,34 @@ object GraphOps {
     * reference findPath, sqlite-graph-storage.ts:228-254, maxDepth 5).
     * Returns the node sequence, or None. */
   def findPath(spark: SparkSession, edges: DataFrame, from: String, to: String,
-      maxDepth: Int = 5): Option[Seq[String]] = {
+      maxDepth: Int = 5): Option[Seq[String]] =
+    findPathEdges(spark, edges, from, to, maxDepth)
+      .map(es => if (es.isEmpty) Seq(from) else es.head._1 +: es.map(_._2))
+
+  /** G3, reference-faithful form: the EDGE sequence (src, dst, attrs-json)
+    * along the shortest path — the reference returns Relation objects, not
+    * node ids. Non-(src,dst) edge columns are carried as a JSON blob per hop.
+    * The bounded parent walk collects only parent pointers of VISITED nodes
+    * (<= maxDepth frontier rounds), never the full edge set. */
+  def findPathEdges(spark: SparkSession, edges: DataFrame, from: String, to: String,
+      maxDepth: Int = 5): Option[Seq[(String, String, String)]] = {
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst"))
-    var parents = Seq((from, "")).toDF("id", "parent").localCheckpoint(true)
+    val attrCols = edges.columns.filterNot(c => c == "src" || c == "dst")
+    val attrs = if (attrCols.isEmpty) lit("{}")
+      else to_json(struct(attrCols.map(col): _*))
+    val e = edges.select(col("src"), col("dst"), attrs.as("eattrs"))
+    var parents = Seq((from, "", "")).toDF("id", "parent", "eattrs").localCheckpoint(true)
     var frontier = parents.select(col("id"))
     var d = 0
-    var found = !frontier.filter(col("id") === to).isEmpty
+    var found = from == to
     while (!found && d < maxDepth && !frontier.isEmpty) {
       d += 1
+      // One parent per newly reached node; min(src) tie-break, with the
+      // winning edge's attrs carried by min_by on the same key.
       val next = frontier.join(e, frontier("id") === e("src"))
-        .groupBy(e("dst").as("id")).agg(min(e("src")).as("parent"))
+        .groupBy(e("dst").as("id"))
+        .agg(min(e("src")).as("parent"),
+          expr("min_by(eattrs, src)").as("eattrs"))
         .join(parents, Seq("id"), "left_anti")
         .localCheckpoint(true)
       parents = parents.union(next).localCheckpoint(true)
@@ -64,10 +81,16 @@ object GraphOps {
     if (!found) None
     else {
       // Path length <= maxDepth: a bounded driver-side walk of parents.
-      val m = parents.as[(String, String)].collect().toMap
-      val path = scala.collection.mutable.ArrayBuffer(to)
-      while (path.head != from) path.prepend(m(path.head))
-      Some(path.toSeq)
+      val m = parents.as[(String, String, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val hops = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+      var cur = to
+      while (cur != from) {
+        val (p, a) = m(cur)
+        hops.prepend((p, cur, a))
+        cur = p
+      }
+      Some(hops.toSeq)
     }
   }
 
@@ -97,9 +120,18 @@ object GraphOps {
 
   def exportDot(nodes: DataFrame, edges: DataFrame, maxNodes: Int = 10000): String = {
     val ns = nodes.select("id").limit(maxNodes).collect().map(_.getString(0))
-    val inSet = ns.toSet
-    val es = edges.select("src", "dst").collect()
-      .filter(r => inSet(r.getString(0)) && inSet(r.getString(1)))
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // Filter edges to the bounded node set BEFORE collecting — an unbounded
+    // edges.collect() would pull the whole (data-scale) edge set to the
+    // driver just to render a capped preview.
+    val nsDf = ns.toSeq.toDF("__n")
+    val es = edges.select("src", "dst")
+      .join(nsDf.withColumnRenamed("__n", "src"), Seq("src"), "left_semi")
+      .join(nsDf.withColumnRenamed("__n", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst")
+      .limit(maxNodes * 4)
+      .collect()
     val sb = new StringBuilder("digraph G {\n")
     ns.foreach(n => sb.append(s"""  "$n";\n"""))
     es.foreach(r => sb.append(s"""  "${r.getString(0)}" -> "${r.getString(1)}";\n"""))

@@ -35,6 +35,11 @@ object FooterStats {
       val mins = scala.collection.mutable.Map[String, Any]()
       val maxs = scala.collection.mutable.Map[String, Any]()
       val nulls = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      // Once ANY row group lacks stats for a column, the column is unbounded
+      // for this whole file: a later row group's stats must not re-populate
+      // min/max (they would not cover the statless group's rows, and pruning
+      // on such bounds silently drops matching rows).
+      val unbounded = scala.collection.mutable.Set[String]()
       val statCols = schema.fields.filterNot(_.dataType == BinaryType).map(_.name).toSet
       val it = blocks.iterator()
       while (it.hasNext) {
@@ -44,7 +49,7 @@ object FooterStats {
         while (cit.hasNext) {
           val c = cit.next()
           val name = c.getPath.toDotString
-          if (statCols.contains(name)) {
+          if (statCols.contains(name) && !unbounded.contains(name)) {
             val st = c.getStatistics
             if (st != null && !st.isEmpty) {
               nulls(name) = nulls(name) + st.getNumNulls
@@ -56,8 +61,7 @@ object FooterStats {
                 maxs(name) = maxs.get(name).map(combine(_, mx, tpe, min = false)).getOrElse(mx)
               }
             } else {
-              // No stats for this chunk: we cannot bound the column; drop it
-              // entirely so pruning treats the file as may-match.
+              unbounded += name
               mins.remove(name); maxs.remove(name); nulls.remove(name)
             }
           }
@@ -65,9 +69,12 @@ object FooterStats {
       }
       if (rows == 0) return None
       val stats = statCols.map { c =>
-        val mn = mins.get(c).map(render)
-        val mx = maxs.get(c).map(render).map(widenIfTruncated)
-        c -> ColStats(mn, mx, nulls.getOrElse(c, 0L))
+        if (unbounded.contains(c)) c -> ColStats(None, None, 0L)
+        else {
+          val mn = mins.get(c).map(render)
+          val mx = maxs.get(c).map(render).map(widenIfTruncated)
+          c -> ColStats(mn, mx, nulls.getOrElse(c, 0L))
+        }
       }.toMap
       Some(DataFileMeta(path = absPath,
         fileSizeBytes = java.nio.file.Files.size(p),

@@ -74,6 +74,35 @@ class ClusterSpec extends GraftSuite {
     assert(res2.snapshot.isEmpty && res2.filesIn == 0)
   }
 
+  test("exact range exchange: partition i holds exactly key bucket i, no sampling") {
+    import spark.implicits._
+    val bounds = Array(100L, 200L, 300L)
+    val df = spark.range(0, 400).toDF("k").repartition(7) // scrambled input
+    val out = Cluster.rangeExchange(df, col("k"), bounds)
+    // No RangePartitioning anywhere in the plan => no sampling pass exists.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan)
+    val got = out.withColumn("pid", spark_partition_id())
+      .groupBy(col("pid"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._4).sum == 400)
+    got.foreach { case (pid, mn, mx, _) =>
+      assert(mn / 100 == pid && mx / 100 == pid,
+        s"partition $pid holds keys [$mn,$mx] outside its bucket")
+    }
+  }
+
+  test("curve boundary pass projects only the key (payload never read)") {
+    val t = TestFixtures.baseTable
+    val proj = t.scan().select(
+      gf.clusterKeyZ(col("phash"), col("w"), col("h")).as("__ck"))
+    val scan = proj.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema"), scan)
+    assert(!scan.contains("bytes"), s"payload column must be pruned:\n$scan")
+  }
+
   private val GraftTable = graft.table.GraftTable
 
   test("curve expressions agree with the pure-Scala functions on table data") {

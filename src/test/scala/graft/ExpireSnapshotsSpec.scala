@@ -50,9 +50,38 @@ class ExpireSnapshotsSpec extends GraftSuite {
     val orphanDf = graft.images.ImageGen.df(spark, 20, seed = 5L, partitions = 1)
     t.writeDataFiles(orphanDf) // returns metadata but we never commit it
     val liveCount = t.scan().count()
-    val res = ExpireSnapshots.run(t, retain = Seq(t.currentSnapshot.snapshotId))
+    // orphanMinAgeMs = 0: production default is 1h (so in-flight writers'
+    // uncommitted outputs survive); tests sweep immediately.
+    val res = ExpireSnapshots.run(t, retain = Seq(t.currentSnapshot.snapshotId),
+      orphanMinAgeMs = 0L)
     assert(res.orphansSwept > 0, "uncommitted unit outputs must be swept")
     assert(t.scan().count() == liveCount)
+  }
+
+  test("orphan sweep min-age guard protects just-written uncommitted outputs") {
+    val t = TestFixtures.freshTable("expire-minage")
+    t.writeDataFiles(graft.images.ImageGen.df(spark, 20, seed = 5L, partitions = 1))
+    val res = ExpireSnapshots.run(t, retain = Seq(t.currentSnapshot.snapshotId))
+    assert(res.orphansSwept == 0, "default min-age must protect fresh files")
+  }
+
+  test("concurrent snapshot committed after planning survives the expire CAS retry") {
+    val t = TestFixtures.freshTable("expire-race")
+    val s1 = t.currentSnapshot.snapshotId
+    Compact.run(t, targetBytes = 4L * 1024 * 1024)
+    val s2 = t.currentSnapshot.snapshotId
+    // A writer commits between expire's planning and its CAS: the refreshed
+    // current pointer must be re-validated (not silently dropped), so
+    // expire(retain=s2) refuses once current has moved to s3.
+    GraftTable.append(t, graft.images.ImageGen.df(spark, 10, seed = 7L, partitions = 1))
+    val s3 = t.currentSnapshot.snapshotId
+    intercept[IllegalArgumentException] {
+      ExpireSnapshots.run(t, retain = Seq(s2)) // current is s3 now
+    }
+    // Retaining the true current works and expires only the old ones.
+    val res = ExpireSnapshots.run(t, retain = Seq(s3), orphanMinAgeMs = 0L)
+    assert(res.expiredSnapshots.toSet == Set(s1, s2))
+    assert(t.meta.snapshots.map(_.snapshotId) == Seq(s3))
   }
 
   test("reachability helper computes multi-hop closure") {

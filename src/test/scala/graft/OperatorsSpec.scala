@@ -61,6 +61,18 @@ class OperatorsSpec extends GraftSuite {
     assert(GraphOps.findPath(spark, edges, "a", "c", maxDepth = 1) == None)
   }
 
+  test("findPathEdges returns the edge objects with their attributes (reference Relation shape)") {
+    val edges = Seq(("a", "b", "knows", 0.9), ("b", "c", "cites", 0.5),
+      ("a", "z", "noise", 0.1)).toDF("src", "dst", "rel", "weight")
+    val hops = GraphOps.findPathEdges(spark, edges, "a", "c").get
+    assert(hops.map(h => (h._1, h._2)) == Seq(("a", "b"), ("b", "c")))
+    assert(hops.head._3.contains("\"rel\":\"knows\"") && hops.head._3.contains("0.9"))
+    assert(hops(1)._3.contains("\"rel\":\"cites\""))
+    // Degenerate: from == to is an empty edge path.
+    assert(GraphOps.findPathEdges(spark, edges, "a", "a") == Some(Seq()))
+    assert(GraphOps.findPath(spark, edges, "a", "a") == Some(Seq("a")))
+  }
+
   test("cascade delete removes incident edges") {
     val nodes = Seq("a", "b", "c").toDF("id")
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")

@@ -24,7 +24,7 @@ object Main {
   def main(argv: Array[String]): Unit = {
     if (argv.isEmpty) {
       System.err.println(
-        "verbs: gen | stats | snapshots | scan | compact | cluster | rewrite-manifests | expire | merge-demo | dedup | transcode")
+        "verbs: gen | ingest | stats | snapshots | scan | lineage | metrics | compact | cluster | rewrite-manifests | expire | merge-demo | dedup | transcode | evolve-schema")
       sys.exit(2)
     }
     val verb = argv.head
@@ -44,6 +44,27 @@ object Main {
                   else GraftTable.create(root, spark)
           val snap = GraftTable.append(t, ImageGen.df(spark, rows, seed, files))
           println(s"appended snapshot=${snap.snapshotId} rows=$rows files=${snap.summary("added-files")} bytes=${snap.summary("added-bytes")}")
+        case "ingest" =>
+          // External-directory ingest (reference scanner.ts:80-140):
+          //   ingest --root TBL --dir DIR [--include G1,G2] [--exclude G1,G2]
+          val t = if (MetaIO.currentVersion(root).isDefined) GraftTable.load(root, spark)
+                  else GraftTable.create(root, spark)
+          val dir = req(args, "dir")
+          val inc = arg(args, "include").map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
+          val exc = arg(args, "exclude").map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
+          val r = Ingest.run(t, dir, inc, exc)
+          println(s"ingest snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} files=${r.files} rows=${r.rows} bytes=${r.bytes}")
+        case "evolve-schema" =>
+          val t = GraftTable.load(root, spark)
+          val changes = t.evolveSchema(req(args, "ddl"))
+          if (changes.isEmpty) println("schema unchanged")
+          else changes.foreach(c => println(s"applied: ${c.describe}"))
+        case "metrics" =>
+          graft.lineage.Metrics.events(root).foreach { e =>
+            println(s"ts=${e.ts} kind=${e.kind} name=${e.name} durationMs=${e.durationMs}" +
+              s" rows=${e.outputRows.getOrElse(-1L)} read=${e.bytesRead.getOrElse(-1L)}" +
+              s" written=${e.bytesWritten.getOrElse(-1L)} ${e.detail.map { case (k, v) => s"$k=$v" }.mkString(" ")}")
+          }
         case "stats" =>
           val t = GraftTable.load(root, spark)
           val s = t.currentSnapshot
@@ -92,11 +113,13 @@ object Main {
             java.nio.file.Paths.get(root, "lineage")).iterator()
           while (jobs.hasNext) {
             val j = jobs.next().getFileName.toString
+            if (j.startsWith("_")) () else {
             val units = graft.lineage.Lineage.committedUnits(root, j)
             val snap = graft.lineage.Lineage.committedSnapshot(root, j)
             println(s"job=$j units=${units.size} committedSnapshot=${snap.getOrElse("-")}" +
               s" rows=${units.values.map(_.rows).sum} bytes=${units.values.map(_.bytes).sum}" +
               s" filesIn=${units.values.map(_.filesIn.size).sum} filesOut=${units.values.map(_.filesOut.size).sum}")
+            }
           }
         case "rewrite-manifests" =>
           val t = GraftTable.load(root, spark)

@@ -71,6 +71,17 @@ case class Psnr(left: Expression, right: Expression) extends BinaryExpression {
     copy(l, r)
 }
 
+/** Container format from magic bytes (BinaryType -> StringType): png/jpg/
+  * unknown. Codegen'd so ingest's decode stage stays in whole-stage codegen. */
+case class DetectFmt(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.detectFmtUtf8(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.ExprOps.detectFmtUtf8($b)")
+  override protected def withNewChildInternal(c: Expression): DetectFmt = copy(c)
+}
+
 /** Decoded dimensions of an encoded image (BinaryType -> STRUCT<w INT, h INT>). */
 case class DecodeWH(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
@@ -119,6 +130,9 @@ object ExprOps {
     val v = graft.images.ImageCodec.psnrBytes(a, b)
     if (v.isInfinite) 999.0 else v
   }
+  def detectFmtUtf8(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.images.ImageCodec.detectFmt(b))
   def decodeWH(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     val img = graft.images.ImageCodec.decode(b)
     org.apache.spark.sql.catalyst.InternalRow(img.getWidth, img.getHeight)
@@ -137,6 +151,7 @@ object functions {
     c(HilbertIndex64(e(a), e(b), e(cc)))
   def psnr(a: Column, b: Column): Column = c(Psnr(e(a), e(b)))
   def decode_wh(bytes: Column): Column = c(DecodeWH(e(bytes)))
+  def detect_fmt(bytes: Column): Column = c(DetectFmt(e(bytes)))
   def range_rep(key: Column, bounds: Array[Long], reps: Array[Long]): Column =
     c(RangeRep(e(key), bounds, reps))
 

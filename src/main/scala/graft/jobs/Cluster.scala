@@ -69,6 +69,7 @@ object Cluster {
       targetBytes: Long = 8L * 1024 * 1024,
       maxConcurrentGroups: Int = 8,
       only: Option[Seq[graft.table.DataFileMeta]] = None): Result = {
+    val jobT0 = System.nanoTime()
     val base = t.currentSnapshot
     val files = only.getOrElse(t.snapshotFiles(base))
     if (files.isEmpty) return Result(None, "", mode, curve, 0, 0, 0, 0)
@@ -135,6 +136,11 @@ object Cluster {
     val snap = t.commit("cluster", added, files.map(_.path).toSet, Map(
       "job-id" -> jid, "curve" -> curve, "mode" -> mode))
     Lineage.markCommitted(t.root, jid, snap.snapshotId)
+    graft.lineage.Metrics.recordJob(t.root, "cluster",
+      (System.nanoTime() - jobT0) / 1000000, Map(
+        "job-id" -> jid, "curve" -> curve, "mode" -> mode,
+        "files-in" -> files.size.toString, "files-out" -> added.size.toString,
+        "bytes-in" -> bytesIn.toString))
     Result(Some(snap), jid, mode, curve, files.size, added.size, bytesIn,
       added.map(_.rowCount).sum)
   }

@@ -87,6 +87,7 @@ object Compact {
       maxConcurrentBins: Int = 8,
       failAfterUnits: Option[Int] = None,
       waveSize: Int = 128): Result = {
+    val jobT0 = System.nanoTime()
     val base = t.currentSnapshot
     val files = t.snapshotFiles(base)
     val bins = plan(files, targetBytes)
@@ -147,6 +148,11 @@ object Compact {
       "bins" -> bins.size.toString,
       "target-bytes" -> targetBytes.toString))
     Lineage.markCommitted(t.root, jid, snap.snapshotId)
+    graft.lineage.Metrics.recordJob(t.root, "compact",
+      (System.nanoTime() - jobT0) / 1000000, Map(
+        "job-id" -> jid, "bins" -> bins.size.toString,
+        "files-in" -> removed.size.toString, "files-out" -> added.size.toString,
+        "bytes-out" -> added.map(_.fileSizeBytes).sum.toString))
     Result(Some(snap), jid, bins.size, todo.size, already.size,
       removed.size, added.size,
       bins.flatten.map(_.fileSizeBytes).sum, added.map(_.fileSizeBytes).sum,

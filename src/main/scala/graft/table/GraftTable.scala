@@ -66,6 +66,10 @@ object PruneFilter {
 class GraftTable(val root: String, val spark: SparkSession) {
   import GraftTable._
 
+  // Observability (I7): every DataFrame action on this session records
+  // duration/rows/bytes under <root>/lineage/_metrics (idempotent install).
+  graft.lineage.Metrics.install(spark, root)
+
   def meta: TableMetadata = MetaIO.load(root).map(_._2)
     .getOrElse(throw new IllegalStateException(s"no table at $root"))
   def version: Int = MetaIO.currentVersion(root)
@@ -128,8 +132,16 @@ class GraftTable(val root: String, val spark: SparkSession) {
     val shaped0 = targetFiles.map(n => df.repartition(n)).getOrElse(df)
     val shaped = if (sortWithin.nonEmpty)
       shaped0.sortWithinPartitions(sortWithin.map(col): _*) else shaped0
+    val t0 = System.nanoTime()
     shaped.write.mode("errorifexists").parquet(dir)
-    footerStats(rel)
+    val t1 = System.nanoTime()
+    val out = footerStats(rel)
+    graft.lineage.Metrics.recordJob(root, "write-data-files",
+      (System.nanoTime() - t0) / 1000000, Map(
+        "write-ms" -> ((t1 - t0) / 1000000).toString,
+        "stats-ms" -> ((System.nanoTime() - t1) / 1000000).toString,
+        "files" -> out.size.toString))
+    out
   }
 
   /** Per-file stats from Parquet footers (no data re-scan, no extra Spark
@@ -187,6 +199,32 @@ class GraftTable(val root: String, val spark: SparkSession) {
     }.sortBy(_.path)
   }
 
+  /** Evolve the table schema to `newDdl`. Additive changes (appended columns,
+    * Parquet-upcast widenings) commit as a metadata-only CAS — zero data IO.
+    * Breaking changes (drops, incompatible retypes) are refused with the full
+    * classification, mirroring the reference's breaking-config reindex gate
+    * (packages/mcp/src/metadata.ts:72-113). Returns the applied changes
+    * (empty if the schemas already match). */
+  def evolveSchema(newDdl: String): Seq[SchemaEvolution.Change] = {
+    val proposed = StructType.fromDDL(newDdl) // parse before touching metadata
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (v, m) = MetaIO.load(root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      val changes = SchemaEvolution.classify(StructType.fromDDL(m.schemaDdl), proposed)
+      val breaking = changes.filter(_.breaking)
+      if (breaking.nonEmpty) throw new IllegalArgumentException(
+        "breaking schema changes refused (full rewrite required): " +
+          breaking.map(_.describe).mkString("; "))
+      if (changes.isEmpty) return Nil
+      if (MetaIO.tryCommit(root, v, m.copy(schemaDdl = newDdl))) return changes
+      if (attempts > 20) throw new IllegalStateException(
+        s"schema evolution contention: lost CAS $attempts times at $root")
+    }
+    Nil
+  }
+
   /** Commit a snapshot that adds `added` and removes `removed` (by path)
     * relative to the current snapshot. Untouched manifests are reused by
     * path (shared across snapshots — the refcount structure); manifests that
@@ -197,6 +235,7 @@ class GraftTable(val root: String, val spark: SparkSession) {
     * durable before the metadata pointer moves. */
   def commit(operation: String, added: Seq[DataFileMeta], removedPaths: Set[String],
       summary: Map[String, String] = Map.empty): Snapshot = {
+    val t0 = System.nanoTime()
     var attempts = 0
     while (true) {
       attempts += 1
@@ -236,7 +275,13 @@ class GraftTable(val root: String, val spark: SparkSession) {
           "added-rows" -> added.map(_.rowCount).sum.toString))
       val nm = m.copy(currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap)
-      if (MetaIO.tryCommit(root, v, nm)) return snap
+      if (MetaIO.tryCommit(root, v, nm)) {
+        graft.lineage.Metrics.recordJob(root, "commit",
+          (System.nanoTime() - t0) / 1000000, Map(
+            "op" -> operation, "attempts" -> attempts.toString,
+            "manifests" -> snap.manifests.size.toString))
+        return snap
+      }
       if (attempts > 20) throw new IllegalStateException(
         s"commit contention: lost CAS $attempts times at $root")
     }

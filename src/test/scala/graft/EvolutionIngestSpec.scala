@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.images.{ImageCodec, ImageGen}
+import graft.jobs.{Compact, Ingest}
+import graft.lineage.Metrics
+import graft.table.{GraftTable, SchemaEvolution}
+
+/** Round-2 surface: schema-evolution gate, external-directory ingest,
+  * observability metrics (VERDICT.md round-1 items 8/9/10). */
+class EvolutionIngestSpec extends GraftSuite {
+
+  // ------------------------------------------------------------- evolution
+
+  test("additive schema evolution: appended column commits metadata-only and old files read NULL") {
+    val t = TestFixtures.freshTable("evolve-add")
+    val dataFilesBefore = t.currentFiles.map(_.path).toSet
+    val changes = t.evolveSchema(
+      GraftTable.ImageSchemaDdl + ", license STRING")
+    assert(changes == Seq(SchemaEvolution.AddColumn("license",
+      org.apache.spark.sql.types.StringType)))
+    // Metadata-only: zero data IO, same files, same snapshot.
+    assert(t.currentFiles.map(_.path).toSet == dataFilesBefore)
+    // Old files scan under the new schema; the new column reads as NULL.
+    val df = t.scan()
+    assert(df.schema.fieldNames.contains("license"))
+    assert(df.filter(col("license").isNull).count() == df.count())
+    // And new appends can carry the column.
+    val extra = ImageGen.df(spark, 10, seed = 7L, partitions = 1)
+      .withColumn("license", lit("cc-by"))
+    GraftTable.append(t, extra)
+    assert(t.scan().filter(col("license") === "cc-by").count() == 10)
+  }
+
+  test("widening int->long is additive and old int32 files still read") {
+    val t = TestFixtures.freshTable("evolve-widen")
+    val rowsBefore = t.scan().count()
+    val sumBefore = t.scan().agg(sum(col("w").cast("long"))).head.getLong(0)
+    val changes = t.evolveSchema(
+      "image_id STRING, bytes BINARY, w BIGINT, h INT, fmt STRING, caption STRING, phash BIGINT")
+    assert(changes.exists {
+      case SchemaEvolution.WidenType("w", _, _) => true; case _ => false
+    })
+    val df = t.scan()
+    assert(df.schema("w").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.count() == rowsBefore)
+    assert(df.agg(sum("w")).head.getLong(0) == sumBefore)
+  }
+
+  test("breaking changes are refused with a full classification") {
+    val t = TestFixtures.freshTable("evolve-breaking")
+    val drop = intercept[IllegalArgumentException] {
+      t.evolveSchema("image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, caption STRING")
+    }
+    assert(drop.getMessage.contains("drop column phash"))
+    val narrow = intercept[IllegalArgumentException] {
+      t.evolveSchema("image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, caption STRING, phash INT")
+    }
+    assert(narrow.getMessage.contains("retype phash"))
+    // Refusal leaves the schema untouched.
+    assert(t.meta.schemaDdl == GraftTable.ImageSchemaDdl)
+    // No-op evolution returns empty.
+    assert(t.evolveSchema(GraftTable.ImageSchemaDdl).isEmpty)
+  }
+
+  // ---------------------------------------------------------------- ingest
+
+  test("directory ingest: recursive scan with include/exclude globs, decoded columns match the files") {
+    val dir = TestFixtures.workRoot.resolve("ingest-src")
+    Files.createDirectories(dir.resolve("a/deep"))
+    Files.createDirectories(dir.resolve("b"))
+    // Deterministic fixture files drawn by the generator.
+    def put(rel: String, i: Long): Array[Byte] = {
+      val (_, bytes, _, _, _, _, _) = ImageGen.row(i, seed = 11L)
+      Files.write(dir.resolve(rel), bytes); bytes
+    }
+    val a1 = put("a/one.png", 1)
+    put("a/deep/two.img", 2)
+    put("b/three.img", 3)
+    Files.write(dir.resolve("a/skip.txt"), "not an image".getBytes)
+    Files.write(dir.resolve("b/ignored.img"), {
+      val (_, b, _, _, _, _, _) = ImageGen.row(4, seed = 11L); b
+    })
+
+    val root = TestFixtures.workRoot.resolve("ingest-tbl").toString
+    val t = GraftTable.create(root, spark)
+    val r = Ingest.run(t, dir.toString,
+      include = Seq("*.png", "*.img"), exclude = Seq("b/ignored.img"))
+    assert(r.rows == 3, s"expected 3 ingested rows, got ${r.rows}")
+    assert(r.snapshot.exists(_.operation == "append"))
+
+    val rows = t.scan().collect().map(r => r.getAs[String]("caption") -> r).toMap
+    assert(rows.keySet == Set("a/one", "a/deep/two", "b/three"))
+    val one = rows("a/one")
+    val img = ImageCodec.decode(a1)
+    assert(one.getAs[Int]("w") == img.getWidth)
+    assert(one.getAs[Int]("h") == img.getHeight)
+    assert(one.getAs[String]("fmt") == ImageCodec.detectFmt(a1))
+    assert(one.getAs[Long]("phash") == ImageCodec.phash(a1))
+    assert(one.getAs[Array[Byte]]("bytes").toSeq == a1.toSeq)
+    // image_id is the sha-256 of the relative path: stable under re-ingest.
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expectId = md.digest("a/one.png".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(one.getAs[String]("image_id") == expectId)
+  }
+
+  test("glob to regex semantics: * stays within a directory, ** crosses") {
+    assert("a/b/c.png".matches(Ingest.globToRegex("**.png")))
+    assert("c.png".matches(Ingest.globToRegex("*.png")))
+    assert("a/c.png".matches(Ingest.globToRegex("*.png"))) // bare glob: any depth basename
+    assert(!"a/sub/c.jpg".matches(Ingest.globToRegex("a/*.jpg")))
+    assert("a/sub/c.jpg".matches(Ingest.globToRegex("a/**.jpg")))
+    assert("x1y".matches(Ingest.globToRegex("x?y")))
+    assert(!"x/y".matches(Ingest.globToRegex("x?y")))
+  }
+
+  // --------------------------------------------------------------- metrics
+
+  test("observability: compact records job metrics and query events in the lineage dir") {
+    val t = TestFixtures.freshTable("metrics-compact")
+    Compact.run(t, targetBytes = 4L * 1024 * 1024)
+    t.scan().count() // a query action after listener install
+    // Listener events land on the listener bus asynchronously; wait briefly.
+    val deadline = System.currentTimeMillis() + 15000
+    def evs = Metrics.events(t.root)
+    while (System.currentTimeMillis() < deadline &&
+      (!evs.exists(_.kind == "job") || !evs.exists(_.kind == "query")))
+      Thread.sleep(100)
+    val events = evs
+    val job = events.find(e => e.kind == "job" && e.name == "compact")
+    assert(job.isDefined, s"no compact job metric in ${events.map(_.name)}")
+    assert(job.get.durationMs > 0)
+    assert(job.get.detail("files-in").toInt > job.get.detail("files-out").toInt)
+    val queries = events.filter(_.kind == "query")
+    assert(queries.nonEmpty)
+    assert(queries.exists(_.durationMs >= 0))
+  }
+}

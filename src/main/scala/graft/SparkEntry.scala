@@ -326,7 +326,52 @@ object SparkEntry {
     // C2 base64url content-location ids (scanner.ts:63).
     "q33_doc_ids" -> ((s, d) => ld(s, d, "documents")
       .withColumn("path", concat(col("source"), lit("/"), col("doc_id")))
-      .select(col("doc_id"), graft.operators.TextOps.docId(col("path")).as("doc_uid"))))
+      .select(col("doc_id"), graft.operators.TextOps.docId(col("path")).as("doc_uid"))),
+
+    // IVF ANN scale path (W3 companion to q21's brute force / q22's LSH):
+    // vectors are assigned to their nearest centroid (the inverted lists);
+    // the query probes only its nprobe=2 nearest lists. Centroids here are
+    // seed vectors 1..8 (at scale they'd come from an offline k-means; the
+    // inverted-list partitioning is the part that matters). Assignment is
+    // MAP-SIDE: centroids are driver-collected literals folded into one
+    // codegen'd projection — no join, no shuffle; the only exchange is the
+    // final top-k. That is the 10^12-row shape: each partition scans its
+    // rows once against 8 constants.
+    "q34_ivf_topk" -> ((s, d) => {
+      val e = ld(s, d, "embeddings")
+      def cosLit(v: Column, cv: Array[Double], scale: Int): Column = {
+        val arr = array(cv.map(x => lit(x)): _*)
+        round(
+          aggregate(zip_with(v, arr, (x, y) => x * y), lit(0.0d), (a, x) => a + x)
+            / (sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
+               * lit(math.sqrt(cv.map(x => x * x).sum))), scale)
+      }
+      val cents = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+      // nprobe=2 probe lists, picked driver-side from the same rounded sims.
+      def cosArr(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val probes = cents.map { case (cid, cv) => (cid, cosArr(qv, cv)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1)
+      // argmax centroid via struct-max: (sim, -cid) ties break to smaller cid.
+      val best = array_max(array(cents.map { case (cid, cv) =>
+        struct(cosLit(col("embedding"), cv, 6).as("sim"), lit(-cid).as("ncid"))
+      }: _*))
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("bucket", -best.getField("ncid"))
+        .filter(col("bucket").isin(probes.map(Long.box): _*))
+        .withColumn("cos", cosLit(col("embedding"), qv, 4))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), col("bucket"), col("cos"))
+    }))
 
   // --------------------------------------------------------------- oracles
 
@@ -533,6 +578,39 @@ object SparkEntry {
           |  'doc:' || regexp_replace(translate(base64(encode(
           |    source || '/' || doc_id)), '+/', '-_'), '=+$', '') AS doc_uid
           |FROM documents""".stripMargin,
+      "q34_ivf_topk" ->
+        // IVF restated relationally: centroid sims rounded to 6 (same as the
+        // Spark assignment), argmax via row_number with the identical
+        // (sim DESC, cid ASC) tie-break; probe lists = 2 nearest centroids
+        // to the query; final cos rounded to 4 from the RAW dot product.
+        """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          |cents AS (SELECT vec_id AS cid, embedding AS cv
+          |          FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+          |sims AS (
+          |  SELECT e.vec_id, e.embedding, c.cid,
+          |    round(list_dot_product(e.embedding, c.cv) /
+          |      (sqrt(list_dot_product(e.embedding, e.embedding)) *
+          |       sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+          |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+          |assign AS (
+          |  SELECT vec_id, embedding, cid AS bucket FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+          |    FROM sims) WHERE rn = 1),
+          |probes AS (
+          |  SELECT cid FROM (
+          |    SELECT c.cid,
+          |      round(list_dot_product(q.qv, c.cv) /
+          |        (sqrt(list_dot_product(q.qv, q.qv)) *
+          |         sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+          |    FROM cents c, q)
+          |  ORDER BY sim DESC, cid ASC LIMIT 2)
+          |SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS bucket,
+          |  round(list_dot_product(a.embedding, q.qv) /
+          |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+          |     sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+          |FROM assign a, q WHERE a.bucket IN (SELECT cid FROM probes)
+          |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
       "q28_zorder" -> {
         // The bit-interleave written out as 63 additive bit terms — an exact
         // SQL restatement of Curves.zorder3 (21 bits per dim, dim0 = low lane).

@@ -24,7 +24,7 @@ object Main {
   def main(argv: Array[String]): Unit = {
     if (argv.isEmpty) {
       System.err.println(
-        "verbs: gen | ingest | stats | snapshots | scan | lineage | metrics | compact | cluster | rewrite-manifests | expire | merge-demo | dedup | transcode | evolve-schema")
+        "verbs: gen | ingest | stats | snapshots | scan | lineage | metrics | compact | cluster | rewrite-manifests | expire | rollback | merge-demo | dedup | transcode | evolve-schema")
       sys.exit(2)
     }
     val verb = argv.head
@@ -79,6 +79,7 @@ object Main {
         case "scan" =>
           val t = GraftTable.load(root, spark)
           val snapId = arg(args, "snapshot").map(_.toLong)
+            .orElse(arg(args, "as-of-ms").map(ts => t.snapshotAsOf(ts.toLong).snapshotId))
           val filters = Seq(
             arg(args, "fmt").map(EqString("fmt", _)),
             arg(args, "phash-min").map(v => GeLong("phash", v.toLong)),
@@ -126,9 +127,23 @@ object Main {
           val r = RewriteManifests.run(t,
             arg(args, "per-manifest").map(_.toInt).getOrElse(1000))
           println(s"rewrite-manifests snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} skipped=${r.skippedUnchanged} before=${r.manifestsBefore} after=${r.manifestsAfter}")
+        case "rollback" =>
+          val t = GraftTable.load(root, spark)
+          val s = t.rollback(req(args, "snapshot").toLong)
+          println(s"rollback current=${s.snapshotId} op=${s.operation}")
         case "expire" =>
           val t = GraftTable.load(root, spark)
-          val retain = req(args, "retain").split(",").map(_.trim.toLong).toSeq
+          // Either an explicit --retain id list, or a declarative policy
+          // (--keep-last N and/or --max-age-ms T).
+          val retain = arg(args, "retain")
+            .map(_.split(",").map(_.trim.toLong).toSeq)
+            .getOrElse {
+              val kl = arg(args, "keep-last").map(_.toInt)
+              val ma = arg(args, "max-age-ms").map(_.toLong)
+              require(kl.isDefined || ma.isDefined,
+                "expire needs --retain, --keep-last, or --max-age-ms")
+              ExpireSnapshots.retainByPolicy(t.meta, kl, ma)
+            }
           // Conservative default (1h): never sweep a file an in-flight job
           // just wrote but has not committed yet. --orphan-min-age-ms 0 for
           // single-writer setups that want an immediate sweep.

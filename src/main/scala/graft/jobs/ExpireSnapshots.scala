@@ -75,6 +75,21 @@ object ExpireSnapshots {
       .select(col("f.path").as("path"), col("f.fileSizeBytes").as("fileSizeBytes"))
   }
 
+  /** Retain set from a declarative policy (Iceberg's retain-last /
+    * max-snapshot-age): the current snapshot always, plus the newest
+    * `keepLast` snapshots, plus every snapshot younger than `maxAgeMs`.
+    * Metadata-only computation. */
+  def retainByPolicy(m: TableMetadata, keepLast: Option[Int] = None,
+      maxAgeMs: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
+    val ids = m.snapshots.sortBy(_.snapshotId)
+    val byLast = keepLast.map(n => ids.takeRight(math.max(0, n)).map(_.snapshotId))
+      .getOrElse(Nil)
+    val byAge = maxAgeMs.map(a => ids.filter(_.timestampMs > nowMs - a).map(_.snapshotId))
+      .getOrElse(Nil)
+    (byLast ++ byAge ++ m.currentSnapshotId.toSeq).distinct.sorted
+  }
+
   def run(t: GraftTable, retain: Seq[Long], deleteFiles: Boolean = true,
       sweepOrphans: Boolean = true, orphanMinAgeMs: Long = 60L * 60 * 1000): Result = {
     val spark = t.spark

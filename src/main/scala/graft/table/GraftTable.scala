@@ -102,6 +102,36 @@ class GraftTable(val root: String, val spark: SparkSession) {
         s"unknown snapshot id $id (known: ${meta.snapshots.map(_.snapshotId).mkString(",")})"))
     }
 
+  /** Time travel by timestamp: the latest snapshot committed at or before
+    * `tsMs` (Iceberg's as-of-timestamp resolution). */
+  def snapshotAsOf(tsMs: Long): Snapshot =
+    meta.snapshots.filter(_.timestampMs <= tsMs).sortBy(_.snapshotId).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at or before $tsMs (earliest: ${meta.snapshots.map(_.timestampMs).minOption.getOrElse(-1L)})"))
+
+  def scanAsOf(tsMs: Long): DataFrame = scan(Some(snapshotAsOf(tsMs).snapshotId))
+
+  /** Roll the current pointer back (or forward) to an existing snapshot.
+    * Metadata-only CAS; no snapshot is created or destroyed, so the rolled-
+    * past snapshots stay time-travelable until expired — Iceberg's
+    * rollback-to-snapshot semantics. */
+  def rollback(snapshotId: Long): Snapshot = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (v, m) = MetaIO.load(root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      val target = m.snapshot(snapshotId).getOrElse(throw new IllegalArgumentException(
+        s"unknown snapshot id $snapshotId (known: ${m.snapshots.map(_.snapshotId).mkString(",")})"))
+      if (m.currentSnapshotId.contains(snapshotId)) return target
+      if (MetaIO.tryCommit(root, v, m.copy(currentSnapshotId = Some(snapshotId))))
+        return target
+      if (attempts > 20) throw new IllegalStateException(
+        s"rollback contention: lost CAS $attempts times at $root")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Pruned scan: drop whole files whose min/max stats refute the filters,
     * then apply the filters row-level (Parquet row-group pruning + codegen
     * handle the rest). */

@@ -27,7 +27,13 @@ object SubmitBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.compression.codec", "zstd")
+      // zstd = engine default (storage-optimal). SPARK_GRAFT_CODEC=snappy
+      // for the A/B in BENCH/BASELINE.md: on already-compressed image bytes
+      // snappy buys ~15% single-node throughput for +30% storage; the
+      // 8-core throughput floor is codec-independent (streaming-bandwidth
+      // bound), so the scaling efficiency is unchanged.
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // defaultParallelism is 2 until executors register; for
@@ -56,7 +62,11 @@ object SubmitBench {
     locally {
       val wroot = s"$work/warm-$cores-${System.nanoTime()}"
       val wt = GraftTable.create(wroot, spark)
-      GraftTable.append(wt, src.limit(4000).repartition(cores * 4))
+      // Large enough that EVERY executor runs ~10+ tasks through the full
+      // read->decode->encode->write path: the parquet/zstd/codegen hot loop
+      // must reach C2-compiled steady state per JVM, or high executor
+      // counts (few tasks per JVM) measure interpreter time, not the engine.
+      GraftTable.append(wt, src.limit(40000).repartition(cores * 12))
       Compact.run(wt, targetBytes = targetBytes, maxConcurrentBins = cores)
       Cluster.run(wt, curve = "zorder", mode = "global", targetBytes = targetBytes)
     }

@@ -91,6 +91,9 @@ object Cluster {
         val bounds = curveBoundaries(
           t.scan(Some(base.snapshotId)).select(curveCol(curve).as("__ck")),
           numFiles)
+        graft.lineage.Metrics.recordJob(t.root, "cluster-bounds",
+          (System.nanoTime() - t0) / 1000000,
+          Map("parts" -> numFiles.toString, "bounds" -> bounds.length.toString))
         val df = t.scan(Some(base.snapshotId)).withColumn("__ck", curveCol(curve))
         val out = t.writeDataFiles(
           rangeExchange(df, col("__ck"), bounds)
@@ -161,10 +164,16 @@ object Cluster {
   /** Exact range exchange: bucket each row by driver-computed `bounds`
     * (codegen'd binary search) and hash-repartition on a REPRESENTATIVE value
     * chosen so bucket i lands exactly at partition i — a range partitioning
-    * with zero sampling executions of the child. */
+    * with zero sampling executions of the child.
+    *
+    * GRAFT_CLUSTER_EXCHANGE=rbr switches to Spark's repartitionByRange for
+    * same-day A/B benchmarking only (its sampling executes the
+    * payload-bearing child twice — never the default). */
   def rangeExchange(df: DataFrame, ck: Column, bounds: Array[Long]): DataFrame = {
     val n = bounds.length + 1
     if (n == 1) return df.repartition(1)
+    if (sys.env.get("GRAFT_CLUSTER_EXCHANGE").contains("rbr"))
+      return df.repartitionByRange(n, ck)
     df.withColumn("__rep", gf.range_rep(ck, bounds, partitionReps(n)))
       .repartition(n, col("__rep"))
       .drop("__rep")

@@ -116,11 +116,24 @@ object Compact {
       val futures = waves.map { waveBins =>
         Future {
           val t0 = System.nanoTime()
-          val children = waveBins.map { binIdx =>
-            t.spark.read.schema(t.schema)
-              .parquet(bins(binIdx).map(_.absPath(t.root)): _*)
-              .coalesce(1)
-          }
+          // Child construction is driver CPU (one InMemoryFileIndex + plan
+          // per bin, ~5-20 ms each): build them on a bounded pool so a
+          // 100-bin wave costs ~the longest child, not the sum — this is
+          // part of the fixed driver constant that does not shrink with
+          // executors (BENCH/BASELINE.md).
+          val cpool = Executors.newFixedThreadPool(
+            math.min(16, math.max(1, waveBins.size)))
+          val children =
+            try {
+              waveBins.map { binIdx =>
+                cpool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+                  def call(): org.apache.spark.sql.DataFrame =
+                    t.spark.read.schema(t.schema)
+                      .parquet(bins(binIdx).map(_.absPath(t.root)): _*)
+                      .coalesce(1)
+                })
+              }.map(_.get())
+            } finally cpool.shutdown()
           val waveDf = children.reduce(_ unionAll _)
           val out = t.writeDataFiles(waveDf) // sorted by path = part index order
           require(out.size == waveBins.size,

@@ -37,6 +37,37 @@ object StreamingIngest {
       }
       .start()
 
+  /** Micro-batch append with INLINE table upkeep: after each committed
+    * batch, if the small-file population crossed `maintainEveryFiles`, run a
+    * compaction and fold the newly compacted files into the clustered layout
+    * (incremental groups-mode cluster — no global shuffle). This is the
+    * steady-state 10^12-row shape: ingest keeps the table query-optimal
+    * continuously instead of letting small files pile up for a nightly job;
+    * both maintenance commits are snapshot-atomic, so concurrent readers
+    * only ever see before/after states. Re-grounds the reference's
+    * index-after-ingest refresh (pipeline.ts:63-94) as table upkeep. */
+  def appendStreamWithUpkeep(t: GraftTable, stream: DataFrame,
+      checkpointDir: String,
+      targetBytes: Long = 8L * 1024 * 1024,
+      maintainEveryFiles: Int = 64,
+      curve: String = "zorder",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          GraftTable.append(t, batch)
+          val small = t.currentFiles
+            .count(_.fileSizeBytes < (targetBytes * 3) / 4)
+          if (small >= maintainEveryFiles) {
+            graft.jobs.Compact.run(t, targetBytes)
+            graft.jobs.Cluster.runIncremental(t, curve, targetBytes): Unit
+          }
+        }
+      }
+      .start()
+
   /** Watermark + sliding window aggregation over an event stream
     * (ts, event_type, value). */
   def windowedEventStats(events: DataFrame,

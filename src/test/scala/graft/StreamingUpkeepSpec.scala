@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingIngest
+import graft.table.GraftTable
+
+/** Streaming ingest with inline table upkeep: small files produced by
+  * micro-batches get compacted + incrementally clustered as part of the
+  * stream, and every row survives the maintenance commits. */
+class StreamingUpkeepSpec extends GraftSuite {
+
+  test("appendStreamWithUpkeep compacts and incrementally clusters once small files accumulate") {
+    val work = TestFixtures.workRoot.resolve("stream-upkeep")
+    val srcDir = work.resolve("src").toString
+    // 200 rows in 20 parquet files -> 20 micro-batch appends of tiny files
+    // (maxFilesPerTrigger=4 -> 5 batches of 4 files each).
+    graft.images.ImageGen.df(spark, 200, seed = 13L, partitions = 20)
+      .write.parquet(srcDir)
+    val t = GraftTable.create(work.resolve("tbl").toString, spark)
+    val stream = spark.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", "4").parquet(srcDir)
+    val q = StreamingIngest.appendStreamWithUpkeep(t, stream,
+      checkpointDir = work.resolve("ckpt").toString,
+      targetBytes = 4L * 1024 * 1024,
+      maintainEveryFiles = 8,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+
+    val ops = t.meta.snapshots.map(_.operation)
+    assert(ops.count(_ == "append") >= 2, s"expected several micro-batch appends: $ops")
+    assert(ops.contains("compact"), s"upkeep should have compacted: $ops")
+    assert(ops.contains("cluster"), s"upkeep should have clustered: $ops")
+
+    // No rows lost or duplicated through ingest + maintenance.
+    val ids = t.scan().select("image_id").collect().map(_.getString(0))
+    assert(ids.length == 200)
+    assert(ids.distinct.length == 200)
+    // Upkeep actually erased the accumulated small-file population.
+    val small = t.currentFiles.count(_.fileSizeBytes < 3L * 1024 * 1024)
+    assert(t.currentFiles.size < 20,
+      s"expected upkeep to shrink the file count, got ${t.currentFiles.size} (small=$small)")
+  }
+
+  test("cluster exchange is skew-safe: a hot curve key collapses to one partition, rows survive") {
+    val work = TestFixtures.workRoot.resolve("cluster-skew")
+    val t = GraftTable.create(work.resolve("tbl").toString, spark)
+    // 70% of rows share ONE (phash,w,h) key -> duplicate quantile boundaries
+    // must collapse (distinct) and the exchange still routes every row.
+    val base = graft.images.ImageGen.df(spark, 300, seed = 21L, partitions = 6)
+    val skewed = base.withColumn("phash",
+      when(rand(42) < 0.7, lit(1234567890123L)).otherwise(col("phash")))
+      .withColumn("w", when(rand(43) < 0.7, lit(64)).otherwise(col("w")))
+      .withColumn("h", when(rand(44) < 0.7, lit(64)).otherwise(col("h")))
+    GraftTable.append(t, skewed, targetFiles = Some(6))
+    val rows = t.scan().count()
+    val r = graft.jobs.Cluster.run(t, curve = "zorder", mode = "global",
+      targetBytes = 256L * 1024)
+    assert(r.snapshot.isDefined)
+    assert(t.scan().count() == rows, "skewed exchange must not lose rows")
+    assert(canon(t.scan()).size == rows.toInt)
+  }
+}

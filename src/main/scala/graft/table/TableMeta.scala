@@ -114,10 +114,29 @@ object MetaIO {
     (hinted.toSeq ++ scanned.toSeq).maxOption
   }
 
+  // Version files and manifests are IMMUTABLE once written (unique names,
+  // tmp+atomic-move), so parsed forms are cached process-wide: commit and
+  // planning re-read them several times per job, and the JSON parse of a
+  // 1000-entry manifest is a measurable slice of the fixed driver cost.
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), TableMetadata]()
+  private val manifestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), ManifestData](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), ManifestData]): Boolean =
+        size() > 256
+    })
+
   def load(root: String): Option[(Int, TableMetadata)] =
     currentVersion(root).map { v =>
-      val s = new String(Files.readAllBytes(versionFile(root, v)), StandardCharsets.UTF_8)
-      (v, TableJson.read[TableMetadata](s))
+      val cached = metaCache.get((root, v))
+      if (cached != null) (v, cached)
+      else {
+        val s = new String(Files.readAllBytes(versionFile(root, v)), StandardCharsets.UTF_8)
+        val m = TableJson.read[TableMetadata](s)
+        metaCache.put((root, v), m)
+        (v, m)
+      }
     }
 
   /** Attempt to commit `meta` as version `base + 1`. Returns true iff this
@@ -131,6 +150,7 @@ object MetaIO {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => return false
     }
+    metaCache.put((root, base + 1), meta)
     val tmp = metadataDir(root).resolve(s".version-hint.${base + 1}.tmp")
     Files.write(tmp, String.valueOf(base + 1).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, hintFile(root), StandardCopyOption.ATOMIC_MOVE,
@@ -144,11 +164,17 @@ object MetaIO {
     Files.write(tmp, TableJson.write(m).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, metadataDir(root).resolve(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    manifestCache.put((root, name), m)
   }
 
   def readManifest(root: String, name: String): ManifestData = {
+    val k = (root, name)
+    val cached = manifestCache.get(k)
+    if (cached != null) return cached
     val s = new String(
       Files.readAllBytes(metadataDir(root).resolve(name)), StandardCharsets.UTF_8)
-    TableJson.read[ManifestData](s)
+    val m = TableJson.read[ManifestData](s)
+    manifestCache.put(k, m)
+    m
   }
 }

@@ -24,7 +24,7 @@ object Main {
   def main(argv: Array[String]): Unit = {
     if (argv.isEmpty) {
       System.err.println(
-        "verbs: gen | ingest | stats | snapshots | scan | lineage | metrics | compact | cluster | rewrite-manifests | expire | rollback | merge-demo | dedup | transcode | evolve-schema")
+        "verbs: gen | ingest | stats | snapshots | scan | lineage | metrics | compact | cluster | rewrite-manifests | expire | rollback | merge-demo | delete | dedup | transcode | evolve-schema")
       sys.exit(2)
     }
     val verb = argv.head
@@ -160,6 +160,13 @@ object Main {
           val r = Transcode.run(t, arg(args, "from").getOrElse("png"),
             arg(args, "to").getOrElse("jpg"))
           println(s"transcode snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} rows=${r.transcodedRows} files=${r.files}")
+        case "delete" =>
+          // Targeted COW delete: delete --root TBL --ids id1,id2,...
+          import spark.implicits._
+          val t = GraftTable.load(root, spark)
+          val ids = req(args, "ids").split(",").map(_.trim).toSeq.toDF("image_id")
+          val r = MergeInto.deleteMatched(t, ids)
+          println(s"delete snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} deletedRows=${r.deletedRows} rewrittenFiles=${r.rewrittenFiles}")
         case "merge-demo" =>
           // Upsert demo: fix captions of 10 rows, insert 5 new rows.
           import org.apache.spark.sql.functions._

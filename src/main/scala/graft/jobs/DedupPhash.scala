@@ -153,6 +153,10 @@ object DedupPhash {
     victimsB.unpersist()
     val snap = t.commit("merge", rewritten, affected.map(_.path).toSet,
       Map("op" -> "dedup", "mode" -> mode, "victims" -> vCount.toString))
+    graft.lineage.Metrics.recordJob(t.root, "dedup", 0, Map(
+      "mode" -> mode, "groups" -> dupGroups.toString,
+      "victims" -> vCount.toString,
+      "rewritten-files" -> affected.size.toString))
     Result(Some(snap), dupGroups, vCount, affected.size, mode)
   }
 }

@@ -201,6 +201,11 @@ object ExpireSnapshots {
       }
     }
 
+    graft.lineage.Metrics.recordJob(t.root, "expire", 0, Map(
+      "expired" -> (known -- retainSet).size.toString,
+      "deleted-files" -> deletedFiles.toString,
+      "deleted-bytes" -> deletedBytes.toString,
+      "orphans" -> orphans.toString))
     Result(retainSet.toSeq.sorted, (known -- retainSet).toSeq.sorted,
       deadManifests.size, deletedFiles, deletedBytes, orphans)
   }

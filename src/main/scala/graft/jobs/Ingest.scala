@@ -98,6 +98,9 @@ object Ingest {
     val out = t.writeDataFiles(decoded)
     if (out.isEmpty) return Result(None, 0, 0, 0)
     val snap = t.commit("append", out, Set.empty, Map("ingest-dir" -> dir))
+    graft.lineage.Metrics.recordJob(t.root, "ingest", 0, Map(
+      "dir" -> dir, "files" -> out.size.toString,
+      "rows" -> out.map(_.rowCount).sum.toString))
     Result(Some(snap),
       out.size.toLong, out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum)
   }

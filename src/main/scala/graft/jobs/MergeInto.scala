@@ -141,7 +141,58 @@ object MergeInto {
     val snap = t.commit("merge", updatedFilesMeta ++ insertFiles,
       affected.map(_.path).toSet,
       Map("strategy" -> strategy, "source-rows" -> srcCount.toString))
+    graft.lineage.Metrics.recordJob(t.root, "merge", 0, Map(
+      "strategy" -> strategy, "matched-files" -> affected.size.toString,
+      "inserted-rows" -> insertedRows.toString))
     Result(Some(snap), srcCount - insertedRows, affected.size, insertedRows,
       affected.map(_.fileSizeBytes).sum, strategy)
+  }
+
+  case class DeleteResult(
+      snapshot: Option[Snapshot],
+      deletedRows: Long,
+      rewrittenFiles: Int)
+
+  /** MERGE ... WHEN MATCHED THEN DELETE: remove the rows whose image_id
+    * appears in `keys`, as a copy-on-write rewrite of ONLY the files that
+    * contain matches (the targeted-delete/GDPR shape; reference analog:
+    * scoped deleteEntity + refcount cleanup, pipeline.ts:263-308).
+    *
+    * Scale: discovery is the same projection-only (image_id, file) scan as
+    * the upsert path — a delete touching 0.1% of a 100 TB table rewrites
+    * ~0.1% of it; keys join under AQE (broadcast when small). */
+  def deleteMatched(t: GraftTable, keys: DataFrame,
+      targetBytes: Long = 8L * 1024 * 1024): DeleteResult = {
+    val spark = t.spark
+    val base = t.currentSnapshot
+    val files = t.snapshotFiles(base)
+    val k = keys.select("image_id").distinct()
+
+    val scanWithFile = t.scan(Some(base.snapshotId))
+      .select(col("image_id"), input_file_name().as("__file"))
+    val affectedUris = scanWithFile
+      .join(k, Seq("image_id"), "left_semi")
+      .select("__file").distinct().collect().map(_.getString(0)).toSet
+    val rootAbs = java.nio.file.Paths.get(t.root).toAbsolutePath
+    val affectedRel = affectedUris.map { uri =>
+      val p = java.nio.file.Paths.get(java.net.URI.create(
+        if (uri.startsWith("file:")) uri else s"file:$uri"))
+      rootAbs.relativize(p.toAbsolutePath).toString
+    }
+    val affected = files.filter(f => affectedRel.contains(f.path))
+    if (affected.isEmpty) return DeleteResult(None, 0, 0)
+
+    val tgt = spark.read.schema(t.schema).parquet(affected.map(_.absPath(t.root)): _*)
+    val kept = tgt.join(k, Seq("image_id"), "left_anti")
+    val out = t.writeDataFiles(kept,
+      targetFiles = Some(math.max(1, math.ceil(
+        affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
+    val deleted = affected.map(_.rowCount).sum - out.map(_.rowCount).sum
+    val snap = t.commit("delete", out, affected.map(_.path).toSet,
+      Map("deleted-rows" -> deleted.toString))
+    graft.lineage.Metrics.recordJob(t.root, "delete", 0, Map(
+      "deleted-rows" -> deleted.toString,
+      "rewritten-files" -> affected.size.toString))
+    DeleteResult(Some(snap), deleted, affected.size)
   }
 }

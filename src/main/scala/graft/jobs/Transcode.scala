@@ -49,6 +49,8 @@ object Transcode {
       affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
     val snap = t.commit("transcode", files, affected.map(_.path).toSet,
       Map("from" -> from, "to" -> to))
+    graft.lineage.Metrics.recordJob(t.root, "transcode", 0, Map(
+      "from" -> from, "to" -> to, "files" -> affected.size.toString))
     Result(Some(snap), files.map(_.rowCount).sum, affected.size)
   }
 }

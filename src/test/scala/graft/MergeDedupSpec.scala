@@ -128,4 +128,27 @@ class MergeDedupSpec extends GraftSuite {
       .select(gf.psnr(col("bytes"), col("bytes"))).collect()
     viaExpr.foreach(r => assert(r.getDouble(0) == 999.0))
   }
+
+  test("deleteMatched removes exactly the keyed rows COW, untouched files shared") {
+    import spark.implicits._
+    val t = TestFixtures.freshTable("merge-delete")
+    val before = t.scan().count()
+    val filesBefore = t.currentFiles.map(_.path).toSet
+    val victims = Seq("img-000000000003", "img-000000000017", "img-000000000500")
+    val unrelatedBefore = canon(t.scan().filter(col("image_id") === "img-000000000700"))
+
+    val res = MergeInto.deleteMatched(t, victims.toDF("image_id"))
+    assert(res.snapshot.exists(_.operation == "delete"))
+    assert(res.deletedRows == 3)
+    assert(t.scan().count() == before - 3)
+    assert(t.scan().filter(col("image_id").isin(victims: _*)).count() == 0)
+    // COW scope: only the files containing victims were replaced.
+    val filesAfter = t.currentFiles.map(_.path).toSet
+    assert(filesBefore.intersect(filesAfter).size >= filesBefore.size - victims.size)
+    // Unrelated rows byte-identical.
+    assert(canon(t.scan().filter(col("image_id") === "img-000000000700")) == unrelatedBefore)
+    // Idempotent: a second delete of the same keys is a no-op.
+    val again = MergeInto.deleteMatched(t, victims.toDF("image_id"))
+    assert(again.snapshot.isEmpty && again.deletedRows == 0)
+  }
 }

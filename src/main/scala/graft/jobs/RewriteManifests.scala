@@ -74,9 +74,13 @@ object RewriteManifests {
           "manifests-after" -> names.size.toString))
       val nm = m.copy(currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap)
-      if (MetaIO.tryCommit(t.root, v, nm))
+      if (MetaIO.tryCommit(t.root, v, nm)) {
+        graft.lineage.Metrics.recordJob(t.root, "rewrite-manifests", 0, Map(
+          "before" -> before.toString, "after" -> names.size.toString,
+          "files" -> files.size.toString))
         return Result(Some(snap), skippedUnchanged = false, before, names.size,
           files.size, recomputed)
+      }
       // Lost the race: the manifests written this attempt become sweepable
       // orphans; re-derive everything from the winner's metadata.
       if (attempts > 20) throw new IllegalStateException("rewrite-manifests: CAS contention")

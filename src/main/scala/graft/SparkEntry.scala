@@ -371,6 +371,52 @@ object SparkEntry {
         .withColumn("cos", cosLit(col("embedding"), qv, 4))
         .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
         .select(col("vec_id"), col("bucket"), col("cos"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
+    // come only from same-sign-bucket self-joins (the q22 buckets), never
+    // all-pairs — the 10^12-row dedup shape (bucket join is quadratic per
+    // bucket, linear overall when buckets stay small).
+    "q35_embed_neardup" -> ((s, d) => {
+      val e = ld(s, d, "embeddings")
+        .withColumn("bucket",
+          (when(element_at(col("embedding"), 1) > 0, 8).otherwise(0) +
+           when(element_at(col("embedding"), 2) > 0, 4).otherwise(0) +
+           when(element_at(col("embedding"), 3) > 0, 2).otherwise(0) +
+           when(element_at(col("embedding"), 4) > 0, 1).otherwise(0)).cast("long"))
+        .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, v) => acc + v * v)))
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+        .withColumn("cos", round(
+          aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+            lit(0.0d), (acc, v) => acc + v) / (col("na") * col("nb")), 4))
+        .filter(col("cos") >= 0.3)
+        .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc).limit(20)
+        .select(col("a_id"), col("b_id"), col("bucket"), col("cos"))
+    }),
+
+    // Document fingerprinting by winnowing: 3-word shingles -> rolling md5
+    // hashes -> per-position window minimum (w=4) -> distinct fingerprints
+    // per doc. Window functions only — one shuffle on doc_id, no UDFs.
+    "q36_winnow_fp" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val winnow = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+      ld(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("sh", concat(col("w"), lit(" "),
+          lead(col("w"), 1).over(byDoc), lit(" "), lead(col("w"), 2).over(byDoc)))
+        .filter(col("sh").isNotNull)
+        .withColumn("fp", min(md5(col("sh"))).over(winnow))
+        .select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("fp_min"),
+          max(col("fp")).as("fp_max"))
     }))
 
   // --------------------------------------------------------------- oracles
@@ -611,6 +657,38 @@ object SparkEntry {
           |     sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
           |FROM assign a, q WHERE a.bucket IN (SELECT cid FROM probes)
           |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+      "q35_embed_neardup" ->
+        """WITH e AS (
+          |  SELECT vec_id, embedding,
+          |    CAST((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END) +
+          |         (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END) +
+          |         (CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END) +
+          |         (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+          |    sqrt(list_dot_product(embedding, embedding)) AS nrm
+          |  FROM embeddings)
+          |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+          |  round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) AS cos
+          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |WHERE round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) >= 0.3
+          |ORDER BY cos DESC, a_id ASC, b_id ASC LIMIT 20""".stripMargin,
+      "q36_winnow_fp" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(range(len(string_split(text, ' ')))) AS pos,
+          |    unnest(string_split(text, ' ')) AS w
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, pos,
+          |    w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+          |      || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+          |  FROM toks),
+          |fps AS (
+          |  SELECT DISTINCT doc_id,
+          |    min(md5(sh)) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          |  FROM sh WHERE sh IS NOT NULL)
+          |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max
+          |FROM fps GROUP BY 1""".stripMargin,
       "q28_zorder" -> {
         // The bit-interleave written out as 63 additive bit terms — an exact
         // SQL restatement of Curves.zorder3 (21 bits per dim, dim0 = low lane).

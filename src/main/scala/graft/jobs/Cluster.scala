@@ -68,7 +68,8 @@ object Cluster {
       mode: String = "global",
       targetBytes: Long = 8L * 1024 * 1024,
       maxConcurrentGroups: Int = 8,
-      only: Option[Seq[graft.table.DataFileMeta]] = None): Result = {
+      only: Option[Seq[graft.table.DataFileMeta]] = None,
+      failAfterUnits: Option[Int] = None): Result = {
     val jobT0 = System.nanoTime()
     val base = t.currentSnapshot
     val files = only.getOrElse(t.snapshotFiles(base))
@@ -113,9 +114,14 @@ object Cluster {
         import scala.concurrent.duration.Duration
         val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrentGroups))
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val executed = new java.util.concurrent.atomic.AtomicInteger(already.size)
         try {
           val fs = groups.indices.filterNot(already.contains).map { gi =>
             Future {
+              failAfterUnits.foreach { k =>
+                if (executed.incrementAndGet() > k)
+                  throw new RuntimeException(s"injected failure after $k units")
+              }
               val g = groups(gi)
               val t0 = System.nanoTime()
               val n = math.max(1, math.ceil(g.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)

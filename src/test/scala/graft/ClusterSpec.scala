@@ -55,6 +55,29 @@ class ClusterSpec extends GraftSuite {
     assert(snapshotReplay(t) == before)
   }
 
+  test("killed groups-mode cluster resumes at unit granularity, no snapshot until done") {
+    val t = TestFixtures.freshTable("cluster-kill-resume")
+    val before = snapshotReplay(t)
+    val groups = Cluster.packGroups(t.currentFiles, 128L * 1024 * 4)
+    assert(groups.size >= 2, s"need >=2 groups, got ${groups.size}")
+
+    intercept[Exception] {
+      Cluster.run(t, curve = "zorder", mode = "groups",
+        targetBytes = 128L * 1024, maxConcurrentGroups = 1,
+        failAfterUnits = Some(1))
+    }
+    assert(t.currentSnapshot.operation == "append", "no snapshot must commit on kill")
+
+    val res = Cluster.run(t, curve = "zorder", mode = "groups",
+      targetBytes = 128L * 1024, maxConcurrentGroups = 1)
+    assert(res.snapshot.exists(_.operation == "cluster"))
+    assert(snapshotReplay(t) == before)
+    // The first unit's output was reused, not recomputed: its lineage rows
+    // survive from the killed attempt (same deterministic job id).
+    val units = graft.lineage.Lineage.committedUnits(t.root, res.jobId)
+    assert(units.size == groups.size)
+  }
+
   test("incremental cluster rewrites only files appended since the last cluster") {
     val t = TestFixtures.freshTable("cluster-incremental")
     Cluster.run(t, curve = "zorder", mode = "global", targetBytes = 192L * 1024)

@@ -99,7 +99,7 @@ object MergeInto {
           .withColumn("__wh", when(col("src_bytes").isNotNull,
             gf.decode_wh(col("src_bytes"))))
         val fmtOf = udf((b: Array[Byte]) => graft.images.ImageCodec.detectFmt(b))
-        val rewritten = joined.select(
+        val rewritten = joined.select(Seq(
           col("image_id"),
           coalesce(col("src_bytes"), col("bytes")).as("bytes"),
           coalesce(col("__wh.w"), col("w")).as("w"),
@@ -107,6 +107,9 @@ object MergeInto {
           when(col("src_bytes").isNotNull, fmtOf(col("src_bytes"))).otherwise(col("fmt")).as("fmt"),
           coalesce(col("src_caption"), col("caption")).as("caption"),
           when(col("src_bytes").isNotNull, gf.phash64(col("src_bytes"))).otherwise(col("phash")).as("phash"))
+          // Schema-evolved extra columns pass through from the target —
+          // a COW rewrite must never drop columns it does not transform.
+          ++ t.schema.fieldNames.toSeq.filterNot(GraftTable.BaseColumns).map(col): _*)
         t.writeDataFiles(rewritten,
           targetFiles = Some(math.max(1, math.ceil(
             affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
@@ -118,7 +121,7 @@ object MergeInto {
     val inserts = src.join(tgtKeys, Seq("image_id"), "left_anti")
       .filter(col("src_bytes").isNotNull) // an insert needs a payload
       .withColumn("__wh", gf.decode_wh(col("src_bytes")))
-      .select(
+      .select(Seq(
         col("image_id"),
         col("src_bytes").as("bytes"),
         col("__wh.w").as("w"),
@@ -127,6 +130,11 @@ object MergeInto {
           .apply(col("src_bytes")).as("fmt"),
         coalesce(col("src_caption"), lit("")).as("caption"),
         gf.phash64(col("src_bytes")).as("phash"))
+        // Evolved extra columns: inserts carry typed NULLs (the source has
+        // no values for them), matching what a scan of pre-evolution files
+        // returns.
+        ++ t.schema.fields.toSeq.filterNot(f => GraftTable.BaseColumns(f.name))
+          .map(f => lit(null).cast(f.dataType).as(f.name)): _*)
     // Written with the anti-join's natural distribution — NOT coalesce(1),
     // which would funnel a bulk-insert batch through a single task/file. AQE
     // partition coalescing keeps small batches to few files; empty

@@ -38,13 +38,16 @@ object Transcode {
     val out = df
       .withColumn("__nb", when(col("fmt") === lit(from), reenc(col("bytes")))
         .otherwise(col("bytes")))
-      .select(
+      .select(Seq(
         col("image_id"),
         col("__nb").as("bytes"),
         col("w"), col("h"),
         when(col("fmt") === lit(from), lit(to)).otherwise(col("fmt")).as("fmt"),
         col("caption"),
         when(col("fmt") === lit(from), gf.phash64(col("__nb"))).otherwise(col("phash")).as("phash"))
+        // Schema-evolved extra columns pass through untouched — a COW
+        // rewrite must never drop columns it does not transform.
+        ++ t.schema.fieldNames.toSeq.filterNot(GraftTable.BaseColumns).map(col): _*)
     val files = t.writeDataFiles(out, targetFiles = Some(math.max(1, math.ceil(
       affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
     val snap = t.commit("transcode", files, affected.map(_.path).toSet,

@@ -324,6 +324,11 @@ object GraftTable {
   val ImageSchemaDdl: String =
     "image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, caption STRING, phash BIGINT"
 
+  /** The base columns every job transforms explicitly; schema-evolved
+    * additions beyond these must pass through COW rewrites untouched. */
+  val BaseColumns: Set[String] =
+    Set("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
   def create(root: String, spark: SparkSession, schemaDdl: String = ImageSchemaDdl,
       properties: Map[String, String] = Map.empty): GraftTable = {
     require(MetaIO.currentVersion(root).isEmpty, s"table already exists at $root")

@@ -66,6 +66,33 @@ class EvolutionIngestSpec extends GraftSuite {
     assert(t.evolveSchema(GraftTable.ImageSchemaDdl).isEmpty)
   }
 
+  test("evolved extra column survives every COW rewrite (compact, merge, transcode, dedup, delete)") {
+    import spark.implicits._
+    val t = TestFixtures.freshTable("evolve-cow")
+    t.evolveSchema(GraftTable.ImageSchemaDdl + ", license STRING")
+    GraftTable.append(t, ImageGen.df(spark, 40, seed = 31L, partitions = 4)
+      .withColumn("image_id", concat(lit("lic-"), col("image_id")))
+      .withColumn("license", lit("cc-by")), targetFiles = Some(4))
+    def licensed = t.scan().filter(col("license") === "cc-by").count()
+    assert(licensed == 40)
+
+    Compact.run(t, targetBytes = 8L * 1024 * 1024)
+    assert(licensed == 40, "compact dropped the evolved column")
+    graft.jobs.MergeInto.run(t,
+      Seq(("lic-img-000000000001", "fixed")).toDF("image_id", "caption"))
+    assert(licensed == 40, "merge update dropped the evolved column")
+    graft.jobs.Transcode.run(t, "png", "jpg")
+    assert(licensed == 40, "transcode dropped the evolved column")
+    graft.jobs.MergeInto.deleteMatched(t, Seq("lic-img-000000000002").toDF("image_id"))
+    assert(licensed == 39, "delete must remove exactly one licensed row")
+    // Inserts of a schema-evolved table carry typed NULL for the new column.
+    val png = ImageGen.row(999L, seed = 31L)._2
+    graft.jobs.MergeInto.run(t,
+      Seq(("brand-new-row", "fresh", png)).toDF("image_id", "caption", "bytes"))
+    val fresh = t.scan().filter(col("image_id") === "brand-new-row")
+    assert(fresh.count() == 1 && fresh.filter(col("license").isNull).count() == 1)
+  }
+
   // ---------------------------------------------------------------- ingest
 
   test("directory ingest: recursive scan with include/exclude globs, decoded columns match the files") {

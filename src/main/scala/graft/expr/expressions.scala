@@ -95,6 +95,19 @@ case class DecodeWH(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): DecodeWH = copy(c)
 }
 
+/** Fault-tolerant decode for ingest paths: (w, h) or a (NULL, NULL) struct
+  * when the payload does not decode — one corrupt file in a directory scan
+  * must not fail the whole job. */
+case class DecodeWHSafe(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    StructType(Seq(StructField("w", IntegerType), StructField("h", IntegerType)))
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.decodeWHSafe(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.ExprOps.decodeWHSafe($b)")
+  override protected def withNewChildInternal(c: Expression): DecodeWHSafe = copy(c)
+}
+
 /**
  * Maps a long sort key to a hash-partitioning REPRESENTATIVE value such that
  * `repartition(n, col)` places the key's range bucket exactly at partition
@@ -137,6 +150,10 @@ object ExprOps {
     val img = graft.images.ImageCodec.decode(b)
     org.apache.spark.sql.catalyst.InternalRow(img.getWidth, img.getHeight)
   }
+  def decodeWHSafe(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    try decodeWH(b)
+    catch { case _: Exception =>
+      org.apache.spark.sql.catalyst.InternalRow(null, null) }
 }
 
 /** Column-level API for the engine's expressions. */
@@ -151,6 +168,7 @@ object functions {
     c(HilbertIndex64(e(a), e(b), e(cc)))
   def psnr(a: Column, b: Column): Column = c(Psnr(e(a), e(b)))
   def decode_wh(bytes: Column): Column = c(DecodeWH(e(bytes)))
+  def decode_wh_safe(bytes: Column): Column = c(DecodeWHSafe(e(bytes)))
   def detect_fmt(bytes: Column): Column = c(DetectFmt(e(bytes)))
   def range_rep(key: Column, bounds: Array[Long], reps: Array[Long]): Column =
     c(RangeRep(e(key), bounds, reps))

@@ -141,6 +141,12 @@ object ExpireSnapshots {
 
     var deletedBytes = 0L
     var deletedFiles = 0L
+    if (!deleteFiles) {
+      // Dry run: report the PLANNED reclamation so callers can preview.
+      val planned = deadFiles.agg(count(lit(1)), coalesce(sum(col("fileSizeBytes")), lit(0L))).head()
+      deletedFiles = planned.getLong(0)
+      deletedBytes = planned.getLong(1)
+    }
     if (deleteFiles) {
       // Bounded driver memory: stream the deletion list partition by
       // partition instead of one big collect.
@@ -158,8 +164,10 @@ object ExpireSnapshots {
 
     // Manifest-orphan sweep: manifest files on disk referenced by no
     // snapshot at all (lost CAS attempts write manifests first) — metadata
-    // scale, age-guarded like data orphans.
-    if (deleteFiles) {
+    // scale, age-guarded like data orphans. Gated on sweepOrphans: that
+    // flag exists precisely to protect in-flight writers' not-yet-committed
+    // artifacts, and a pre-CAS manifest is exactly such an artifact.
+    if (sweepOrphans && deleteFiles) {
       val mdDir = MetaIO.metadataDir(t.root)
       val referenced = t.meta.snapshots.flatMap(_.manifests).toSet
       val now = System.currentTimeMillis()
@@ -190,8 +198,15 @@ object ExpireSnapshots {
               rootAbs.relativize(p.toAbsolutePath).toString
           }.toSeq
         if (onDisk.nonEmpty) {
+          // Liveness against FRESH post-CAS metadata, not the planning-time
+          // set: a snapshot committed concurrently between planning and the
+          // sweep references files absent from the old live set, and the
+          // min-age guard alone must not be their only protection
+          // (orphanMinAgeMs=0 is a supported single-writer mode).
+          val freshManifests = t.meta.snapshots.flatMap(_.manifests).distinct
+          val freshLive = manifestFilesDf(t, freshManifests)
           val sweepIt = onDisk.toDF("path")
-            .join(liveFiles.select("path"), Seq("path"), "left_anti")
+            .join(freshLive.select("path"), Seq("path"), "left_anti")
             .toLocalIterator()
           while (sweepIt.hasNext) {
             val rel = sweepIt.next().getString(0)

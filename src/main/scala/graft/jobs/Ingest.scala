@@ -82,11 +82,19 @@ object Ingest {
       include: Seq[String] = Nil, exclude: Seq[String] = Nil): Result = {
     import graft.expr.functions._
     val files = scan(t, dir, include, exclude)
-    val decoded = files.select(
-      sha2(col("rel_path"), 256).as("image_id"),
-      col("content").as("bytes"),
-      col("rel_path"))
-      .withColumn("wh", decode_wh(col("bytes")))
+    // Fault tolerance: non-image files (magic-byte check) and corrupt
+    // payloads (safe decode -> NULL dims) are SKIPPED, not job failures —
+    // one stray README or truncated image in a million-file directory must
+    // not abort the ingest. Skipped counts are visible as
+    // filesScanned - rows in the Result/metrics.
+    val decoded = files
+      .filter(detect_fmt(col("content")) =!= "unknown")
+      .select(
+        sha2(col("rel_path"), 256).as("image_id"),
+        col("content").as("bytes"),
+        col("rel_path"))
+      .withColumn("wh", decode_wh_safe(col("bytes")))
+      .filter(col("wh.w").isNotNull)
       .select(
         col("image_id"),
         col("bytes"),

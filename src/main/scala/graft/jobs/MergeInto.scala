@@ -39,6 +39,13 @@ object MergeInto {
       rewrittenBytes: Long,
       strategy: String)
 
+  /** Root-relative path of an input_file_name() URI. */
+  private def uriToRel(root: String, uri: String): String = {
+    val p = java.nio.file.Paths.get(java.net.URI.create(
+      if (uri.startsWith("file:")) uri else s"file:$uri"))
+    java.nio.file.Paths.get(root).toAbsolutePath.relativize(p.toAbsolutePath).toString
+  }
+
   /** `source` columns: image_id (required), caption/bytes nullable; absent
     * columns are treated as all-null (keep target values). */
   def run(t: GraftTable, source0: DataFrame,
@@ -81,13 +88,7 @@ object MergeInto {
     val affectedUris = scanWithFile
       .join(srcKeyed.select("image_id"), Seq("image_id"), "left_semi")
       .select("__file").distinct().collect().map(_.getString(0)).toSet
-    val rootAbs = java.nio.file.Paths.get(t.root).toAbsolutePath
-    def toRel(uri: String): String = {
-      val p = java.nio.file.Paths.get(java.net.URI.create(
-        if (uri.startsWith("file:")) uri else s"file:$uri"))
-      rootAbs.relativize(p.toAbsolutePath).toString
-    }
-    val affectedRel = affectedUris.map(toRel)
+    val affectedRel = affectedUris.map(uriToRel(t.root, _))
     val affected = files.filter(f => affectedRel.contains(f.path))
 
     // 2. Rewrite matched files with source columns folded in.
@@ -181,12 +182,7 @@ object MergeInto {
     val affectedUris = scanWithFile
       .join(k, Seq("image_id"), "left_semi")
       .select("__file").distinct().collect().map(_.getString(0)).toSet
-    val rootAbs = java.nio.file.Paths.get(t.root).toAbsolutePath
-    val affectedRel = affectedUris.map { uri =>
-      val p = java.nio.file.Paths.get(java.net.URI.create(
-        if (uri.startsWith("file:")) uri else s"file:$uri"))
-      rootAbs.relativize(p.toAbsolutePath).toString
-    }
+    val affectedRel = affectedUris.map(uriToRel(t.root, _))
     val affected = files.filter(f => affectedRel.contains(f.path))
     if (affected.isEmpty) return DeleteResult(None, 0, 0)
 

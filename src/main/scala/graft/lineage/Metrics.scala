@@ -46,6 +46,9 @@ object Metrics {
     dir(root).resolve(s"metrics-${ProcessHandle.current().pid()}.jsonl")
 
   private def append(root: String, e: QueryEvent): Unit = lock.synchronized {
+    // A deleted table (bench trial cleanup) must not be resurrected by its
+    // still-registered listener writing metrics into a fresh dir tree.
+    if (!Files.exists(Paths.get(root))) return
     Files.createDirectories(dir(root))
     Files.write(file(root),
       (TableJson.write(e) + "\n").getBytes(StandardCharsets.UTF_8),

@@ -130,6 +130,10 @@ object GraphOps {
       .join(nsDf.withColumnRenamed("__n", "src"), Seq("src"), "left_semi")
       .join(nsDf.withColumnRenamed("__n", "dst"), Seq("dst"), "left_semi")
       .select("src", "dst")
+      // Deterministic truncation: an un-ordered limit picks whichever
+      // partitions answer first, so two exports of the same graph would
+      // diff spuriously.
+      .orderBy("src", "dst")
       .limit(maxNodes * 4)
       .collect()
     val sb = new StringBuilder("digraph G {\n")

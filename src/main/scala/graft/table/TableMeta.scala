@@ -118,8 +118,15 @@ object MetaIO {
   // tmp+atomic-move), so parsed forms are cached process-wide: commit and
   // planning re-read them several times per job, and the JSON parse of a
   // 1000-entry manifest is a measurable slice of the fixed driver cost.
-  private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), TableMetadata]()
+  // Bounded: a long-running continuous-ingest driver commits thousands of
+  // versions whose snapshots lists grow monotonically — unbounded retention
+  // would be O(versions^2) heap.
+  private val metaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int), TableMetadata](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), TableMetadata]): Boolean =
+        size() > 32
+    })
   private val manifestCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, String), ManifestData](64, 0.75f, true) {
       override def removeEldestEntry(

@@ -111,6 +111,10 @@ class EvolutionIngestSpec extends GraftSuite {
     Files.write(dir.resolve("b/ignored.img"), {
       val (_, b, _, _, _, _, _) = ImageGen.row(4, seed = 11L); b
     })
+    // Matches *.img and carries a PNG magic, but is truncated garbage: must
+    // be SKIPPED by the safe decode, not fail the job.
+    Files.write(dir.resolve("b/corrupt.img"),
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3))
 
     val root = TestFixtures.workRoot.resolve("ingest-tbl").toString
     val t = GraftTable.create(root, spark)

@@ -116,20 +116,14 @@ class GraftTable(val root: String, val spark: SparkSession) {
     * past snapshots stay time-travelable until expired — Iceberg's
     * rollback-to-snapshot semantics. */
   def rollback(snapshotId: Long): Snapshot = {
-    var attempts = 0
-    while (true) {
-      attempts += 1
-      val (v, m) = MetaIO.load(root).getOrElse(
-        throw new IllegalStateException(s"no table at $root"))
-      val target = m.snapshot(snapshotId).getOrElse(throw new IllegalArgumentException(
+    var target: Snapshot = null
+    MetaIO.casRetry(root, "rollback") { (_, m) =>
+      target = m.snapshot(snapshotId).getOrElse(throw new IllegalArgumentException(
         s"unknown snapshot id $snapshotId (known: ${m.snapshots.map(_.snapshotId).mkString(",")})"))
-      if (m.currentSnapshotId.contains(snapshotId)) return target
-      if (MetaIO.tryCommit(root, v, m.copy(currentSnapshotId = Some(snapshotId))))
-        return target
-      if (attempts > 20) throw new IllegalStateException(
-        s"rollback contention: lost CAS $attempts times at $root")
+      if (m.currentSnapshotId.contains(snapshotId)) None
+      else Some(m.copy(currentSnapshotId = Some(snapshotId)))
     }
-    throw new IllegalStateException("unreachable")
+    target
   }
 
   /** Pruned scan: drop whole files whose min/max stats refute the filters,
@@ -237,22 +231,17 @@ class GraftTable(val root: String, val spark: SparkSession) {
     * (empty if the schemas already match). */
   def evolveSchema(newDdl: String): Seq[SchemaEvolution.Change] = {
     val proposed = StructType.fromDDL(newDdl) // parse before touching metadata
-    var attempts = 0
-    while (true) {
-      attempts += 1
-      val (v, m) = MetaIO.load(root).getOrElse(
-        throw new IllegalStateException(s"no table at $root"))
+    var applied: Seq[SchemaEvolution.Change] = Nil
+    MetaIO.casRetry(root, "schema evolution") { (_, m) =>
       val changes = SchemaEvolution.classify(StructType.fromDDL(m.schemaDdl), proposed)
       val breaking = changes.filter(_.breaking)
       if (breaking.nonEmpty) throw new IllegalArgumentException(
         "breaking schema changes refused (full rewrite required): " +
           breaking.map(_.describe).mkString("; "))
-      if (changes.isEmpty) return Nil
-      if (MetaIO.tryCommit(root, v, m.copy(schemaDdl = newDdl))) return changes
-      if (attempts > 20) throw new IllegalStateException(
-        s"schema evolution contention: lost CAS $attempts times at $root")
+      applied = changes
+      if (changes.isEmpty) None else Some(m.copy(schemaDdl = newDdl))
     }
-    Nil
+    applied
   }
 
   /** Commit a snapshot that adds `added` and removes `removed` (by path)
@@ -267,13 +256,13 @@ class GraftTable(val root: String, val spark: SparkSession) {
       summary: Map[String, String] = Map.empty): Snapshot = {
     val t0 = System.nanoTime()
     var attempts = 0
-    while (true) {
+    var result: Snapshot = null
+    MetaIO.casRetry(root, "commit") { (_, m) =>
       attempts += 1
-      val (v, m) = MetaIO.load(root).getOrElse(
-        throw new IllegalStateException(s"no table at $root"))
+      // Manifests are (re)derived from the FRESH base each attempt: a lost
+      // race must never re-commit manifest sets built from a stale file set.
       val parent = m.currentSnapshot
       val baseManifests = parent.map(_.manifests).getOrElse(Nil)
-
       val keptManifests = mutable.ArrayBuffer[String]()
       for (name <- baseManifests) {
         val data = MetaIO.readManifest(root, name)
@@ -303,19 +292,15 @@ class GraftTable(val root: String, val spark: SparkSession) {
           "removed-files" -> removedPaths.size.toString,
           "added-bytes" -> added.map(_.fileSizeBytes).sum.toString,
           "added-rows" -> added.map(_.rowCount).sum.toString))
-      val nm = m.copy(currentSnapshotId = Some(snap.snapshotId),
-        snapshots = m.snapshots :+ snap)
-      if (MetaIO.tryCommit(root, v, nm)) {
-        graft.lineage.Metrics.recordJob(root, "commit",
-          (System.nanoTime() - t0) / 1000000, Map(
-            "op" -> operation, "attempts" -> attempts.toString,
-            "manifests" -> snap.manifests.size.toString))
-        return snap
-      }
-      if (attempts > 20) throw new IllegalStateException(
-        s"commit contention: lost CAS $attempts times at $root")
+      result = snap
+      Some(m.copy(currentSnapshotId = Some(snap.snapshotId),
+        snapshots = m.snapshots :+ snap))
     }
-    throw new IllegalStateException("unreachable")
+    graft.lineage.Metrics.recordJob(root, "commit",
+      (System.nanoTime() - t0) / 1000000, Map(
+        "op" -> operation, "attempts" -> attempts.toString,
+        "manifests" -> result.manifests.size.toString))
+    result
   }
 }
 

@@ -165,6 +165,28 @@ object MetaIO {
     true
   }
 
+  /** Optimistic-CAS retry loop shared by every metadata mutation: load the
+    * current (version, metadata), derive the next metadata (None = nothing
+    * to change, return without committing), tryCommit, and on a lost race
+    * re-derive from the refreshed base. `attempt` may also THROW to abort
+    * (e.g. a validation that must hold against the freshest metadata). */
+  def casRetry(root: String, what: String)
+      (attempt: (Int, TableMetadata) => Option[TableMetadata]): TableMetadata = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (v, m) = load(root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      attempt(v, m) match {
+        case None => return m
+        case Some(nm) => if (tryCommit(root, v, nm)) return nm
+      }
+      if (attempts > 20) throw new IllegalStateException(
+        s"$what contention: lost CAS $attempts times at $root")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def writeManifest(root: String, name: String, m: ManifestData): Unit = {
     Files.createDirectories(metadataDir(root))
     val tmp = metadataDir(root).resolve(s".$name.tmp")

@@ -53,7 +53,9 @@ object Main {
           val inc = arg(args, "include").map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
           val exc = arg(args, "exclude").map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
           val r = Ingest.run(t, dir, inc, exc)
-          println(s"ingest snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} files=${r.files} rows=${r.rows} bytes=${r.bytes}")
+          println(s"ingest snapshot=${r.snapshot.map(_.snapshotId).getOrElse(-1)} " +
+            s"scanned=${r.filesScanned} skipped=${r.skipped} rows=${r.rows} " +
+            s"written=${r.filesWritten} bytes=${r.bytes}")
         case "evolve-schema" =>
           val t = GraftTable.load(root, spark)
           val changes = t.evolveSchema(req(args, "ddl"))

@@ -31,6 +31,14 @@ object SparkEntry {
   // helpers shared between dialects
 
   private val Stopwords = Seq("the", "a", "to", "of")
+  /** q35 near-dup LSH geometry: bands x 2^bits buckets. Widening `bits`
+    * bounds expected bucket size (N / 2^bits) at any N; 4x8 covers dims
+    * 1..32 of the 64-dim fixture. */
+  private val NearDupBands = 4
+  private val NearDupBandBits = 8
+  /** q37 hybrid weight split (reference querying/pipeline.ts:166-173). */
+  private val HybridK = 20
+  private val HybridLocalWeight = 0.3
   /** 59-bit probe constant for q30 (fits the 60-bit md5-prefix signature). */
   private val HammingProbe = 0x5A5A5A5A5A5A5A5L
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -373,30 +381,40 @@ object SparkEntry {
         .select(col("vec_id"), col("bucket"), col("cos"))
     }),
 
-    // Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
-    // come only from same-sign-bucket self-joins (the q22 buckets), never
-    // all-pairs — the 10^12-row dedup shape (bucket join is quadratic per
-    // bucket, linear overall when buckets stay small).
+    // Embedding-cosine near-duplicate pairs via multi-band sign-LSH:
+    // NearDupBands bands x NearDupBandBits sign bits each (dims 1..32), so
+    // 2^bits buckets PER BAND — the bucket count is a parameter, not a
+    // constant, and expected bucket size is N / 2^bits, bounded by widening
+    // `bits` as N grows (same shape as DedupPhash's 16-bit phash bands).
+    // Candidates = same-(band, bucket) pairs, deduped across bands, then a
+    // join-back for the cosine (the 64-float vector is never replicated per
+    // band). Contrast a fixed bucket count, where the per-bucket self-join
+    // degenerates to O(N^2 / buckets).
     "q35_embed_neardup" -> ((s, d) => {
       val e = ld(s, d, "embeddings")
-        .withColumn("bucket",
-          (when(element_at(col("embedding"), 1) > 0, 8).otherwise(0) +
-           when(element_at(col("embedding"), 2) > 0, 4).otherwise(0) +
-           when(element_at(col("embedding"), 3) > 0, 2).otherwise(0) +
-           when(element_at(col("embedding"), 4) > 0, 1).otherwise(0)).cast("long"))
         .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0d),
           (acc, v) => acc + v * v)))
-      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      def bucketOf(b: Int): Column = (0 until NearDupBandBits).map(j =>
+        when(element_at(col("embedding"), b * NearDupBandBits + j + 1) > 0,
+          lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      val banded = e.select(col("vec_id"),
+        posexplode(array((0 until NearDupBands).map(bucketOf): _*))
+          .as(Seq("band", "bucket")))
+      val l = banded.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+      val r = banded.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
+      val cand = l.join(r, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+        col("nrm").as("na"))
+      val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+        col("nrm").as("nb"))
+      cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
         .withColumn("cos", round(
-          aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+          aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
             lit(0.0d), (acc, v) => acc + v) / (col("na") * col("nb")), 4))
         .filter(col("cos") >= 0.3)
         .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc).limit(20)
-        .select(col("a_id"), col("b_id"), col("bucket"), col("cos"))
+        .select(col("a_id"), col("b_id"), col("cos"))
     }),
 
     // Document fingerprinting by winnowing: 3-word shingles -> rolling md5
@@ -417,6 +435,40 @@ object SparkEntry {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("fp_min"),
           max(col("fp")).as("fp_max"))
+    }),
+
+    // Hybrid mode dispatch (reference querying/pipeline.ts:166-173): parallel
+    // local (vector) + global (keyword) retrieval with the ceil(0.3k)/rest
+    // weight split, concatenated local-first with first-seen dedup. Local =
+    // q21's cosine top-k over embeddings; global = q32's term-boost rerank
+    // over documents; both key spaces are the shared 0..N ids.
+    "q37_hybrid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val kLocal = math.ceil(HybridLocalWeight * HybridK).toInt
+      val kGlobal = HybridK - kLocal
+      val e = ld(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val local = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("cos", round(
+          aggregate(zip_with(col("embedding"), col("qv"), (x, y) => x * y),
+            lit(0.0d), (acc, v) => acc + v) /
+          (sqrt(aggregate(col("embedding"), lit(0.0d), (acc, v) => acc + v * v)) *
+           sqrt(aggregate(col("qv"), lit(0.0d), (acc, v) => acc + v * v))), 4))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(kLocal)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("id"), col("rk"))
+      val global = ld(s, d, "documents")
+        .withColumn("hits", Seq("spark", "join", "merge").map(t =>
+          when(col("text").contains(t), 1).otherwise(0).cast("long")).reduce(_ + _))
+        .withColumn("score",
+          round((col("n_chars").cast("double") / 1000.0) *
+            (lit(1.0) + lit(0.1) * col("hits")), 4))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(kGlobal)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("id"), col("rk"))
+      graft.operators.TextOps.hybridMerge(local, global)
     }))
 
   // --------------------------------------------------------------- oracles
@@ -657,20 +709,70 @@ object SparkEntry {
           |     sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
           |FROM assign a, q WHERE a.bucket IN (SELECT cid FROM probes)
           |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
-      "q35_embed_neardup" ->
-        """WITH e AS (
-          |  SELECT vec_id, embedding,
-          |    CAST((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END) +
-          |         (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END) +
-          |         (CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END) +
-          |         (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
-          |    sqrt(list_dot_product(embedding, embedding)) AS nrm
-          |  FROM embeddings)
-          |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
-          |  round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) AS cos
-          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          |WHERE round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) >= 0.3
-          |ORDER BY cos DESC, a_id ASC, b_id ASC LIMIT 20""".stripMargin,
+      "q35_embed_neardup" -> {
+        // Identical multi-band restatement: per-band 8-sign-bit bucket, same
+        // bit assignment (dim band*8+j+1 -> bit 2^j) as the Spark side.
+        val bucketSql = (0 until NearDupBandBits).map(j =>
+          s"(CASE WHEN embedding[band * $NearDupBandBits + ${j + 1}] > 0 " +
+          s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        val bandVals = (0 until NearDupBands).map(b => s"($b)").mkString(", ")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_dot_product(embedding, embedding)) AS nrm
+           |  FROM embeddings),
+           |banded AS (
+           |  SELECT vec_id, band, CAST($bucketSql AS BIGINT) AS bucket
+           |  FROM e, (VALUES $bandVals) AS bs(band)),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT c.a_id, c.b_id,
+           |  round(list_dot_product(ea.embedding, eb.embedding)
+           |    / (ea.nrm * eb.nrm), 4) AS cos
+           |FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+           |JOIN e eb ON eb.vec_id = c.b_id
+           |WHERE round(list_dot_product(ea.embedding, eb.embedding)
+           |    / (ea.nrm * eb.nrm), 4) >= 0.3
+           |ORDER BY cos DESC, a_id ASC, b_id ASC LIMIT 20""".stripMargin
+      },
+      "q37_hybrid" -> {
+        val kLocal = math.ceil(HybridLocalWeight * HybridK).toInt
+        val kGlobal = HybridK - kLocal
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |loc AS (
+           |  SELECT vec_id AS id,
+           |    row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rk
+           |  FROM (
+           |    SELECT vec_id,
+           |      round(list_dot_product(embedding, qv) /
+           |        (sqrt(list_dot_product(embedding, embedding)) *
+           |         sqrt(list_dot_product(qv, qv))), 4) AS cos
+           |    FROM embeddings, q WHERE vec_id <> 0)
+           |  ORDER BY cos DESC, vec_id ASC LIMIT $kLocal),
+           |glo AS (
+           |  SELECT doc_id AS id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+           |  FROM (
+           |    SELECT doc_id,
+           |      round((CAST(n_chars AS DOUBLE) / 1000.0) * (1.0 + 0.1 * hits), 4) AS score
+           |    FROM (
+           |      SELECT doc_id, n_chars,
+           |        CAST((CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) +
+           |             (CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) +
+           |             (CASE WHEN text LIKE '%merge%' THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           |      FROM documents))
+           |  ORDER BY score DESC, id ASC LIMIT $kGlobal),
+           |u AS (
+           |  SELECT id, rk, 0 AS prio, 'local' AS src FROM loc
+           |  UNION ALL
+           |  SELECT id, rk, 1 AS prio, 'global' AS src FROM glo),
+           |dedup AS (
+           |  SELECT id, rk, prio, src,
+           |    row_number() OVER (PARTITION BY id ORDER BY prio, rk) AS rn FROM u)
+           |SELECT row_number() OVER (ORDER BY prio, rk, id) AS final_rank, id, src
+           |FROM dedup WHERE rn = 1""".stripMargin
+      },
       "q36_winnow_fp" ->
         """WITH toks AS (
           |  SELECT doc_id,

@@ -113,9 +113,21 @@ object DedupPhash {
           labels = next
           iter += 1
         }
-        // Canonical of a component: min label == member with smallest id
-        // after length ranking is out of scope for near-dups; keep min id.
-        val nearVictims = labels.filter(col("id") =!= col("lbl")).select(col("id").as("image_id"))
+        // Canonical of a component: SAME rule as exact mode — longest
+        // caption, then caption, then max image_id (reference A6,
+        // createFlowRAG.ts:73-75) — applied per connected component by
+        // joining the labels back to the candidate rank struct and taking
+        // the max_by per label. One extra shuffle on lbl, component-scale.
+        val rank = struct(length(col("caption")).as("l"), col("caption").as("c"),
+          col("image_id").as("i"))
+        val ranked = labels.join(
+          cand.select(col("image_id").as("id"), rank.as("r")), Seq("id"))
+        val canon = ranked.groupBy(col("lbl"))
+          .agg(max(col("r")).as("best"))
+          .select(col("lbl"), col("best.i").as("canon_id"))
+        val nearVictims = labels.join(canon, Seq("lbl"))
+          .filter(col("id") =!= col("canon_id"))
+          .select(col("id").as("image_id"))
         exactVictims.union(nearVictims).distinct()
       }
 

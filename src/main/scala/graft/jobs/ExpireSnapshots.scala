@@ -25,9 +25,10 @@ import graft.table.{GraftTable, MetaIO, TableMetadata}
  * Scale design: the live FILE set is never materialized on the driver (at
  * 10^12-row scale manifests hold ~10^6-10^8 file entries — hundreds of MB of
  * path strings). Manifests are read as a distributed JSON scan; liveness is
- * a left-anti join; only the (bounded) DELETION list streams back, batched
- * via toLocalIterator. Manifest NAMES (one per ~1000 files) stay driver-side
- * — metadata scale, same as every commit.
+ * a left-anti join; physical deletion is executor-side (foreachPartition —
+ * the natural place for object-store bulk-DELETE batches), with a driver
+ * loop only below [[DriverDeleteMax]]. Manifest NAMES (one per ~1000 files)
+ * stay driver-side — metadata scale, same as every commit.
  */
 object ExpireSnapshots {
 
@@ -73,6 +74,48 @@ object ExpireSnapshots {
     spark.read.schema(sch).json(paths: _*)
       .select(explode(col("files")).as("f"))
       .select(col("f.path").as("path"), col("f.fileSizeBytes").as("fileSizeBytes"))
+  }
+
+  /** Driver-loop cutoff: deletion lists at or below this stream through
+    * toLocalIterator on the driver (cheaper than a Spark job for tiny N);
+    * above it, deletes run executor-side via foreachPartition. */
+  val DriverDeleteMax = 512
+
+  /** Physically delete `files` (path, fileSizeBytes), returning
+    * (deletedCount, deletedBytes). Distributed by default: each executor
+    * partition deletes its slice (on object storage this is where the bulk
+    * DELETE batch call goes), counts flow back via accumulators; a small
+    * list (<= DriverDeleteMax) short-circuits to a driver loop. At 10^7
+    * dead files the driver-serial alternative is hours of wall clock. */
+  private[graft] def deleteListed(spark: SparkSession, root: String,
+      files: DataFrame): (Long, Long) = {
+    val work = files.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = work.count()
+      if (n == 0) (0L, 0L)
+      else if (n <= DriverDeleteMax) {
+        var cnt = 0L; var bytes = 0L
+        val it = work.toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          if (Files.deleteIfExists(Paths.get(root, r.getString(0)))) {
+            cnt += 1; bytes += r.getLong(1)
+          }
+        }
+        (cnt, bytes)
+      } else {
+        val cnt = spark.sparkContext.longAccumulator("expire.deletedFiles")
+        val bytes = spark.sparkContext.longAccumulator("expire.deletedBytes")
+        work.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            if (Files.deleteIfExists(Paths.get(root, r.getString(0)))) {
+              cnt.add(1); bytes.add(r.getLong(1))
+            }
+          }
+        }
+        (cnt.value, bytes.value)
+      }
+    } finally { work.unpersist(); () }
   }
 
   /** Retain set from a declarative policy (Iceberg's retain-last /
@@ -148,16 +191,9 @@ object ExpireSnapshots {
       deletedBytes = planned.getLong(1)
     }
     if (deleteFiles) {
-      // Bounded driver memory: stream the deletion list partition by
-      // partition instead of one big collect.
-      val it = deadFiles.toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
-        val p = Paths.get(t.root, r.getString(0))
-        if (Files.deleteIfExists(p)) {
-          deletedBytes += r.getLong(1); deletedFiles += 1
-        }
-      }
+      val (n, b) = deleteListed(spark, t.root,
+        deadFiles.select(col("path"), col("fileSizeBytes")))
+      deletedFiles = n; deletedBytes = b
       deadManifests.foreach(mf =>
         Files.deleteIfExists(MetaIO.metadataDir(t.root).resolve(mf)))
     }
@@ -171,11 +207,13 @@ object ExpireSnapshots {
       val mdDir = MetaIO.metadataDir(t.root)
       val referenced = t.meta.snapshots.flatMap(_.manifests).toSet
       val now = System.currentTimeMillis()
-      Files.list(mdDir).iterator().asScala
+      val listing = Files.list(mdDir)
+      try listing.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("manifest-") &&
           !referenced.contains(p.getFileName.toString) &&
           now - Files.getLastModifiedTime(p).toMillis >= orphanMinAgeMs)
         .foreach(Files.deleteIfExists(_))
+      finally listing.close()
     }
 
     // Orphan sweep: data files on disk referenced by NO manifest of any
@@ -188,7 +226,8 @@ object ExpireSnapshots {
       if (Files.exists(dataDir)) {
         val rootAbs = Paths.get(t.root).toAbsolutePath
         val now = System.currentTimeMillis()
-        val onDisk = Files.walk(dataDir).iterator().asScala
+        val walk = Files.walk(dataDir)
+        val onDisk = try walk.iterator().asScala
           .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
           .collect {
             // Min-age guard: an in-flight job's just-written unit outputs are
@@ -197,6 +236,7 @@ object ExpireSnapshots {
             case p if now - Files.getLastModifiedTime(p).toMillis >= orphanMinAgeMs =>
               rootAbs.relativize(p.toAbsolutePath).toString
           }.toSeq
+        finally walk.close()
         if (onDisk.nonEmpty) {
           // Liveness against FRESH post-CAS metadata, not the planning-time
           // set: a snapshot committed concurrently between planning and the
@@ -205,13 +245,10 @@ object ExpireSnapshots {
           // (orphanMinAgeMs=0 is a supported single-writer mode).
           val freshManifests = t.meta.snapshots.flatMap(_.manifests).distinct
           val freshLive = manifestFilesDf(t, freshManifests)
-          val sweepIt = onDisk.toDF("path")
+          val sweepList = onDisk.toDF("path")
             .join(freshLive.select("path"), Seq("path"), "left_anti")
-            .toLocalIterator()
-          while (sweepIt.hasNext) {
-            val rel = sweepIt.next().getString(0)
-            if (Files.deleteIfExists(Paths.get(t.root, rel))) orphans += 1
-          }
+            .select(col("path"), lit(0L).as("fileSizeBytes"))
+          orphans = deleteListed(spark, t.root, sweepList)._1
         }
       }
     }

@@ -26,9 +26,12 @@ object Ingest {
 
   case class Result(
       snapshot: Option[Snapshot],
-      files: Long,
-      rows: Long,
-      bytes: Long)
+      filesScanned: Long, // source files matched by the scan (pre-decode)
+      filesWritten: Long, // parquet data files produced
+      rows: Long, // rows ingested; skipped corrupt/non-image = filesScanned - rows
+      bytes: Long) {
+    def skipped: Long = filesScanned - rows
+  }
 
   /** Glob -> anchored regex: `**` crosses directories, `*`/`?` do not.
     * A bare-filename glob (no `/`) matches at any depth, like the reference
@@ -82,6 +85,10 @@ object Ingest {
       include: Seq[String] = Nil, exclude: Seq[String] = Nil): Result = {
     import graft.expr.functions._
     val files = scan(t, dir, include, exclude)
+    // The scanned-file count is a listing-only action (count() prunes the
+    // content column, so binaryFile never opens file bodies) — it is what
+    // makes the skip accounting below real.
+    val filesScanned = files.count()
     // Fault tolerance: non-image files (magic-byte check) and corrupt
     // payloads (safe decode -> NULL dims) are SKIPPED, not job failures —
     // one stray README or truncated image in a million-file directory must
@@ -104,12 +111,15 @@ object Ingest {
         regexp_replace(col("rel_path"), lit("\\.[^./]+$"), lit("")).as("caption"),
         phash64(col("bytes")).as("phash"))
     val out = t.writeDataFiles(decoded)
-    if (out.isEmpty) return Result(None, 0, 0, 0)
+    if (out.isEmpty) return Result(None, filesScanned, 0, 0, 0)
+    val rows = out.map(_.rowCount).sum
     val snap = t.commit("append", out, Set.empty, Map("ingest-dir" -> dir))
     graft.lineage.Metrics.recordJob(t.root, "ingest", 0, Map(
-      "dir" -> dir, "files" -> out.size.toString,
-      "rows" -> out.map(_.rowCount).sum.toString))
-    Result(Some(snap),
-      out.size.toLong, out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum)
+      "dir" -> dir, "files-scanned" -> filesScanned.toString,
+      "files-written" -> out.size.toString,
+      "skipped" -> (filesScanned - rows).toString,
+      "rows" -> rows.toString))
+    Result(Some(snap), filesScanned, out.size.toLong, rows,
+      out.map(_.fileSizeBytes).sum)
   }
 }

@@ -61,12 +61,58 @@ object Metrics {
     append(root, QueryEvent(System.currentTimeMillis(), "job", name,
       durationMs, None, None, None, detail))
 
-  /** Install the per-action listener for `root` on `spark` (idempotent per
-    * session+root). Every successful DataFrame action then logs duration,
-    * output rows, and scan/write byte counters from the executed plan's
-    * SQL metrics. */
+  // One listener PER SESSION, shared by every installed table root, routing
+  // each event only to the roots whose paths the plan actually read or
+  // wrote. A listener per (session, root) — the round-2 design — recorded
+  // every action into EVERY table's metrics file (duplicated + misattributed
+  // with multiple tables on one session) and its per-action work grew with
+  // the number of tables ever opened.
+  private val sessionRoots =
+    new ConcurrentHashMap[SparkSession, java.util.Set[String]]()
+
+  /** Absolute-path table roots whose data/metadata participate in `qe`:
+    * read paths from the analyzed plan's file-source relations (pre-AQE, so
+    * reliable), write paths from the physical write command. */
+  private def touchedRoots(spark: SparkSession, qe: QueryExecution): Seq[String] = {
+    val roots = sessionRoots.get(spark)
+    if (roots == null || roots.isEmpty) return Nil
+    val paths = scala.collection.mutable.ArrayBuffer[String]()
+    qe.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.foreach(p => paths += p.toString)
+          case _ => ()
+        }
+      case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand =>
+        paths += c.outputPath.toString
+      case _ => ()
+    }
+    qe.executedPlan.foreach {
+      case w: org.apache.spark.sql.execution.command.DataWritingCommandExec =>
+        w.cmd match {
+          case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand =>
+            paths += c.outputPath.toString
+          case _ => ()
+        }
+      case _ => ()
+    }
+    import scala.jdk.CollectionConverters._
+    roots.asScala.toSeq.filter { r =>
+      val abs = Paths.get(r).toAbsolutePath.toString
+      paths.exists(p => p.contains(abs))
+    }
+  }
+
+  /** Install per-action metrics for `root` on `spark`: one shared listener
+    * per session; each successful DataFrame action logs duration, output
+    * rows, and scan/write byte counters — attributed ONLY to the installed
+    * roots whose files the plan touched. */
   def install(spark: SparkSession, root: String): Unit = {
-    val key = s"${System.identityHashCode(spark)}|$root"
+    val roots = sessionRoots.computeIfAbsent(spark,
+      _ => ConcurrentHashMap.newKeySet[String]())
+    roots.add(root)
+    val key = s"${System.identityHashCode(spark)}"
     if (!installed.add(key)) return
     spark.listenerManager.register(new QueryExecutionListener {
       private def metricSum(qe: QueryExecution, names: Set[String]): Option[Long] = {
@@ -80,22 +126,27 @@ object Metrics {
       }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         try {
-          val rows = {
-            var last: Option[Long] = None
-            qe.executedPlan.metrics.get("numOutputRows").foreach(m => last = Some(m.value))
-            last
+          val targets = touchedRoots(spark, qe)
+          if (targets.nonEmpty) {
+            val rows = {
+              var last: Option[Long] = None
+              qe.executedPlan.metrics.get("numOutputRows").foreach(m => last = Some(m.value))
+              last
+            }
+            val ev = QueryEvent(System.currentTimeMillis(), "query", funcName,
+              durationNs / 1000000,
+              rows,
+              metricSum(qe, Set("bytesRead", "filesSize")),
+              metricSum(qe, Set("bytesWritten", "numOutputBytes")),
+              Map.empty)
+            targets.foreach(append(_, ev))
           }
-          append(root, QueryEvent(System.currentTimeMillis(), "query", funcName,
-            durationNs / 1000000,
-            rows,
-            metricSum(qe, Set("bytesRead", "filesSize")),
-            metricSum(qe, Set("bytesWritten", "numOutputBytes")),
-            Map.empty))
         } catch { case _: Throwable => () } // observability never fails the query
       override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit =
-        try append(root, QueryEvent(System.currentTimeMillis(), "query",
-          s"$funcName!failed", 0, None, None, None,
-          Map("error" -> String.valueOf(ex.getMessage).take(200))))
+        try touchedRoots(spark, qe).foreach(r =>
+          append(r, QueryEvent(System.currentTimeMillis(), "query",
+            s"$funcName!failed", 0, None, None, None,
+            Map("error" -> String.valueOf(ex.getMessage).take(200)))))
         catch { case _: Throwable => () }
     })
   }
@@ -105,11 +156,13 @@ object Metrics {
     val d = dir(root)
     if (!Files.exists(d)) return Nil
     import scala.jdk.CollectionConverters._
-    Files.list(d).iterator().asScala
+    val listing = Files.list(d)
+    try listing.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".jsonl"))
       .flatMap(p => new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
         .split("\n").iterator.filter(_.nonEmpty)
         .map(TableJson.read[QueryEvent]))
       .toSeq.sortBy(_.ts)
+    finally listing.close()
   }
 }

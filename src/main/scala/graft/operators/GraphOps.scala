@@ -11,16 +11,26 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** G1/G2: depth-limited traversal with cycle guard — iterative frontier
-    * expansion; `direction` out|in|both (reference:
-    * sqlite-graph-storage.ts:201-226; querying/pipeline.ts:64-85). */
+    * expansion; `direction` out|in|both; `edgeTypes` restricts the walk to
+    * edges whose `type` column is in the set (reference's optional
+    * relationship-type filter, sqlite-graph-storage.ts:201-226;
+    * querying/pipeline.ts:64-85). */
   def traverse(spark: SparkSession, edges: DataFrame, startIds: Seq[String],
-      maxDepth: Int, direction: String = "out"): DataFrame = {
+      maxDepth: Int, direction: String = "out",
+      edgeTypes: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
+    val typed =
+      if (edgeTypes.isEmpty) edges
+      else {
+        require(edges.columns.contains("type"),
+          "edgeTypes filter requires a 'type' column on the edges frame")
+        edges.filter(col("type").isin(edgeTypes.map(lit(_)): _*))
+      }
     val e = direction match {
-      case "out" => edges.select(col("src"), col("dst"))
-      case "in" => edges.select(col("dst").as("src"), col("src").as("dst"))
-      case "both" => edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      case "out" => typed.select(col("src"), col("dst"))
+      case "in" => typed.select(col("dst").as("src"), col("src").as("dst"))
+      case "both" => typed.select(col("src"), col("dst"))
+        .union(typed.select(col("dst").as("src"), col("src").as("dst")))
       case other => throw new IllegalArgumentException(s"direction: $other")
     }
     var visited = startIds.toDF("id").withColumn("depth", lit(0L))
@@ -80,15 +90,17 @@ object GraphOps {
     }
     if (!found) None
     else {
-      // Path length <= maxDepth: a bounded driver-side walk of parents.
-      val m = parents.as[(String, String, String)].collect()
-        .map(r => r._1 -> (r._2, r._3)).toMap
+      // Backtrack with <= maxDepth single-node lookups against the
+      // (checkpointed) parents frame — one row per hop comes to the driver,
+      // never the full visited set (which on a dense graph can be the whole
+      // node population even at depth 5).
       val hops = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
       var cur = to
       while (cur != from) {
-        val (p, a) = m(cur)
-        hops.prepend((p, cur, a))
-        cur = p
+        val r = parents.filter(col("id") === cur)
+          .select(col("parent"), col("eattrs")).head()
+        hops.prepend((r.getString(0), cur, r.getString(1)))
+        cur = r.getString(0)
       }
       Some(hops.toSeq)
     }

@@ -60,6 +60,26 @@ object TextOps {
       .withColumn("score", round(baseScore * (lit(1.0) + lit(0.1) * col("hits")), 4))
   }
 
+  /** Hybrid mode dispatch (reference querying/pipeline.ts:166-173): merge a
+    * vector-retrieval list and a keyword-retrieval list, local-priority, with
+    * first-seen dedup on id. Inputs are best-first ranked frames
+    * (id, rk with rk = 1-based rank), already cut to their weight-split
+    * sizes (ceil(w*k) local / k - that global). Output:
+    * (final_rank, id, src) with final_rank re-numbered over the concat
+    * order (all local hits, then surviving global hits). Driver-free: two
+    * window functions over <= k rows. */
+  def hybridMerge(local: DataFrame, global: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = local.select(col("id"), col("rk"), lit(0).as("prio"), lit("local").as("src"))
+    val g = global.select(col("id"), col("rk"), lit(1).as("prio"), lit("global").as("src"))
+    val u = l.unionByName(g)
+    val firstSeen = Window.partitionBy(col("id")).orderBy(col("prio"), col("rk"))
+    val finalOrder = Window.orderBy(col("prio"), col("rk"), col("id"))
+    u.withColumn("rn", row_number().over(firstSeen)).filter(col("rn") === 1)
+      .withColumn("final_rank", row_number().over(finalOrder).cast("long"))
+      .select(col("final_rank"), col("id"), col("src"))
+  }
+
   /** F8: entity resolution chain — exact id, then case-insensitive, then
     * substring (reference: mcp/src/resolve.ts:3-19). Returns matches with
     * the rank of the rule that matched (1 best), best-first. */

@@ -22,6 +22,32 @@ import graft.table.GraftTable
  */
 object StreamingIngest {
 
+  private val BatchIdKey = "stream-batch-id"
+  private val CheckpointKey = "stream-checkpoint"
+
+  /** foreachBatch is AT-LEAST-once: a crash between the table's snapshot
+    * commit and the streaming checkpoint's offset commit re-delivers the
+    * batch on restart. The table-side guard (Iceberg's streaming-sink
+    * pattern): every streaming append stamps (checkpoint, batchId) into the
+    * snapshot summary, and a re-delivered batch whose id is already
+    * committed for this checkpoint is skipped. Metadata-only check — scans
+    * the (driver-resident) snapshot list, no data IO. */
+  private def alreadyCommitted(t: GraftTable, checkpointDir: String,
+      batchId: Long): Boolean =
+    t.meta.snapshots.exists(s =>
+      s.summary.get(BatchIdKey).contains(batchId.toString) &&
+        s.summary.get(CheckpointKey).contains(checkpointDir))
+
+  private[graft] def idempotentAppend(t: GraftTable, batch: DataFrame,
+      checkpointDir: String, batchId: Long): Boolean = {
+    if (alreadyCommitted(t, checkpointDir, batchId)) false
+    else {
+      GraftTable.append(t, batch, summary = Map(
+        BatchIdKey -> batchId.toString, CheckpointKey -> checkpointDir))
+      true
+    }
+  }
+
   /** Micro-batch append of a streaming DataFrame (table schema) into the
     * table. Returns the started query; caller owns lifecycle. */
   def appendStream(t: GraftTable, stream: DataFrame, checkpointDir: String,
@@ -30,10 +56,9 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Exactly-once across restarts comes from the streaming checkpoint
-        // (committed batch ids are not re-delivered to foreachBatch); each
-        // delivered batch becomes one atomic snapshot.
-        if (!batch.isEmpty) GraftTable.append(t, batch): Unit
+        // Each delivered batch becomes one atomic snapshot, idempotent per
+        // (checkpoint, batchId) so at-least-once delivery never duplicates.
+        if (!batch.isEmpty) idempotentAppend(t, batch, checkpointDir, batchId): Unit
       }
       .start()
 
@@ -57,7 +82,9 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          GraftTable.append(t, batch)
+          // Maintenance still runs when the batch itself was a replayed
+          // duplicate — the small-file population it reacts to is real.
+          idempotentAppend(t, batch, checkpointDir, batchId)
           val small = t.currentFiles
             .count(_.fileSizeBytes < (targetBytes * 3) / 4)
           if (small >= maintainEveryFiles) {

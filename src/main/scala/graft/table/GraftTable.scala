@@ -176,8 +176,11 @@ class GraftTable(val root: String, val spark: SparkSession) {
     val dir = Paths.get(s"$root/$relDir")
     val sch = schema
     val rootAbs = Paths.get(root).toAbsolutePath
-    val paths = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val listing = Files.list(dir)
+    val paths =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally listing.close()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(1, paths.size)))
     try {
@@ -317,6 +320,9 @@ object GraftTable {
   def create(root: String, spark: SparkSession, schemaDdl: String = ImageSchemaDdl,
       properties: Map[String, String] = Map.empty): GraftTable = {
     require(MetaIO.currentVersion(root).isEmpty, s"table already exists at $root")
+    // A prior table at this root (deleted by e.g. bench-trial cleanup) may
+    // have live cache entries in this process; drop them before re-creating.
+    MetaIO.invalidate(root)
     Files.createDirectories(Paths.get(root))
     val meta = TableMetadata(
       formatVersion = 1,
@@ -337,8 +343,9 @@ object GraftTable {
   }
 
   /** Append rows as a new snapshot. */
-  def append(t: GraftTable, df: DataFrame, targetFiles: Option[Int] = None): Snapshot = {
+  def append(t: GraftTable, df: DataFrame, targetFiles: Option[Int] = None,
+      summary: Map[String, String] = Map.empty): Snapshot = {
     val files = t.writeDataFiles(df, targetFiles)
-    t.commit("append", files, Set.empty)
+    t.commit("append", files, Set.empty, summary)
   }
 }

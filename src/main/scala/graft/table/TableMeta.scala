@@ -100,16 +100,19 @@ object MetaIO {
     val dir = metadataDir(root)
     if (!Files.exists(dir)) return None
     val scanned = {
-      val it = Files.list(dir).iterator()
-      var mx = -1
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.startsWith("v") && n.endsWith(".metadata.json")) {
-          scala.util.Try(n.stripPrefix("v").stripSuffix(".metadata.json").toInt)
-            .toOption.foreach(v => if (v > mx) mx = v)
+      val listing = Files.list(dir)
+      try {
+        val it = listing.iterator()
+        var mx = -1
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("v") && n.endsWith(".metadata.json")) {
+            scala.util.Try(n.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+              .toOption.foreach(v => if (v > mx) mx = v)
+          }
         }
-      }
-      if (mx >= 0) Some(mx) else None
+        if (mx >= 0) Some(mx) else None
+      } finally listing.close()
     }
     (hinted.toSeq ++ scanned.toSeq).maxOption
   }
@@ -121,12 +124,29 @@ object MetaIO {
   // Bounded: a long-running continuous-ingest driver commits thousands of
   // versions whose snapshots lists grow monotonically — unbounded retention
   // would be O(versions^2) heap.
+  // The key carries the version FILE's byte size: if a table is deleted and
+  // recreated at the same root by another process (bench-trial cleanup),
+  // the recreated table's v<N> is a different document and must not be
+  // served from the old table's cache entry. (Same-size different-content
+  // is not a realistic collision here — the body embeds a fresh tableUuid
+  // and distinct snapshot timestamps; [[invalidate]] covers same-process
+  // recreation outright.)
   private val metaCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Int), TableMetadata](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Int, Long), TableMetadata](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), TableMetadata]): Boolean =
+          e: java.util.Map.Entry[(String, Int, Long), TableMetadata]): Boolean =
         size() > 32
     })
+
+  /** Drop every cached parse under `root` — called on table (re)creation. */
+  def invalidate(root: String): Unit = {
+    metaCache.synchronized {
+      metaCache.keySet.removeIf(k => k._1 == root)
+    }
+    manifestCache.synchronized {
+      manifestCache.keySet.removeIf(k => k._1 == root)
+    }
+  }
   private val manifestCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, String), ManifestData](64, 0.75f, true) {
       override def removeEldestEntry(
@@ -136,12 +156,13 @@ object MetaIO {
 
   def load(root: String): Option[(Int, TableMetadata)] =
     currentVersion(root).map { v =>
-      val cached = metaCache.get((root, v))
+      val sz = Files.size(versionFile(root, v))
+      val cached = metaCache.get((root, v, sz))
       if (cached != null) (v, cached)
       else {
         val s = new String(Files.readAllBytes(versionFile(root, v)), StandardCharsets.UTF_8)
         val m = TableJson.read[TableMetadata](s)
-        metaCache.put((root, v), m)
+        metaCache.put((root, v, s.getBytes(StandardCharsets.UTF_8).length.toLong), m)
         (v, m)
       }
     }
@@ -157,7 +178,7 @@ object MetaIO {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => return false
     }
-    metaCache.put((root, base + 1), meta)
+    metaCache.put((root, base + 1, body.length.toLong), meta)
     val tmp = metadataDir(root).resolve(s".version-hint.${base + 1}.tmp")
     Files.write(tmp, String.valueOf(base + 1).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, hintFile(root), StandardCopyOption.ATOMIC_MOVE,

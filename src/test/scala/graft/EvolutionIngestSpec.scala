@@ -121,6 +121,11 @@ class EvolutionIngestSpec extends GraftSuite {
     val r = Ingest.run(t, dir.toString,
       include = Seq("*.png", "*.img"), exclude = Seq("b/ignored.img"))
     assert(r.rows == 3, s"expected 3 ingested rows, got ${r.rows}")
+    // 4 files matched the globs (one.png, deep/two.img, three.img,
+    // corrupt.img); the corrupt one is the skip.
+    assert(r.filesScanned == 4, s"expected 4 scanned, got ${r.filesScanned}")
+    assert(r.skipped == 1, s"expected 1 skipped, got ${r.skipped}")
+    assert(r.filesWritten >= 1)
     assert(r.snapshot.exists(_.operation == "append"))
 
     val rows = t.scan().collect().map(r => r.getAs[String]("caption") -> r).toMap

@@ -84,6 +84,30 @@ class ExpireSnapshotsSpec extends GraftSuite {
     assert(t.meta.snapshots.map(_.snapshotId) == Seq(s3))
   }
 
+  test("physical deletes above the driver cutoff run distributed across partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = TestFixtures.workRoot.resolve("expire-dist-del")
+    Files.createDirectories(root.resolve("data"))
+    // Strictly above DriverDeleteMax so the foreachPartition branch (no
+    // driver-side full iteration) is the one exercised, spread over 8
+    // shuffle partitions.
+    val n = ExpireSnapshots.DriverDeleteMax + 48
+    val rels = (0 until n).map { i =>
+      val rel = s"data/f$i.parquet"
+      Files.write(root.resolve(rel), Array[Byte](1, 2, 3))
+      rel
+    }
+    val listed = rels.toDF("path")
+      .withColumn("fileSizeBytes", lit(3L)).repartition(8)
+    val (cnt, bytes) = ExpireSnapshots.deleteListed(spark, root.toString, listed)
+    assert(cnt == n.toLong, s"expected $n deletions, got $cnt")
+    assert(bytes == 3L * n)
+    assert(rels.forall(r => !Files.exists(root.resolve(r))))
+    // Idempotent on re-run: nothing left to delete.
+    assert(ExpireSnapshots.deleteListed(spark, root.toString, listed) == ((0L, 0L)))
+  }
+
   test("reachability helper computes multi-hop closure") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("src", "dst")

@@ -102,6 +102,30 @@ class MergeDedupSpec extends GraftSuite {
     assert(nearPairs.isEmpty, s"${nearPairs.size} near pairs survived (victims=${near.victims})")
   }
 
+  test("near-dup canonical keeps the longest caption in the component (A6 rule)") {
+    import spark.implicits._
+    // A controlled 3-member near-dup chain: distinct phashes, pairwise
+    // within hamming<=4 of a neighbor, captions such that the LONGEST sits
+    // on the lexicographically-largest id — min-id canonicalization (the
+    // round-2 behavior) would keep the wrong row.
+    val root = TestFixtures.workRoot.resolve("dedup-canon").toString
+    val t = graft.table.GraftTable.create(root, spark)
+    val png = ImageCodec.encodePng(ImageGen.drawBase(16, 16, new scala.util.Random(9)))
+    val p = 0x0123456789ABCDEFL
+    val rows = Seq(
+      ("id-a", png, 16, 16, "png", "short", p),
+      ("id-b", png, 16, 16, "png", "medium caption", p ^ 3L),
+      ("id-c", png, 16, 16, "png", "the winning much longer caption", p ^ 5L))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    graft.table.GraftTable.append(t, rows)
+    val res = DedupPhash.run(t, hammingThreshold = 4)
+    assert(res.victims == 2, s"expected 2 victims, got ${res.victims}")
+    val kept = t.scan().select("image_id", "caption").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(kept.toSeq == Seq(("id-c", "the winning much longer caption")),
+      s"canonical must keep the longest caption, got ${kept.toSeq}")
+  }
+
   test("transcode png->jpg keeps captions byte-equal and pixels above 40dB PSNR") {
     val t = TestFixtures.freshTable("transcode")
     val before = t.scan().select("image_id", "caption", "fmt", "bytes")

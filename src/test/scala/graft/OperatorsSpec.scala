@@ -61,6 +61,24 @@ class OperatorsSpec extends GraftSuite {
     assert(GraphOps.findPath(spark, edges, "a", "c", maxDepth = 1) == None)
   }
 
+  test("traverse with an edge-type filter walks only the selected relationship types") {
+    val edges = Seq(
+      ("a", "b", "knows"), ("b", "c", "knows"),
+      ("a", "x", "cites"), ("x", "y", "cites"))
+      .toDF("src", "dst", "type")
+    val knows = GraphOps.traverse(spark, edges, Seq("a"), 3, edgeTypes = Seq("knows"))
+      .as[(String, Long)].collect().toMap
+    assert(knows == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    val both = GraphOps.traverse(spark, edges, Seq("a"), 3,
+      edgeTypes = Seq("knows", "cites")).as[(String, Long)].collect().toMap
+    assert(both.keySet == Set("a", "b", "c", "x", "y"))
+    // Missing type column is refused, not silently unfiltered.
+    val untyped = Seq(("a", "b")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphOps.traverse(spark, untyped, Seq("a"), 1, edgeTypes = Seq("knows"))
+    }
+  }
+
   test("findPathEdges returns the edge objects with their attributes (reference Relation shape)") {
     val edges = Seq(("a", "b", "knows", 0.9), ("b", "c", "cites", 0.5),
       ("a", "z", "noise", 0.1)).toDF("src", "dst", "rel", "weight")

@@ -44,6 +44,26 @@ class StreamingUpkeepSpec extends GraftSuite {
       s"expected upkeep to shrink the file count, got ${t.currentFiles.size} (small=$small)")
   }
 
+  test("streaming append is idempotent per (checkpoint, batchId): a re-delivered batch is skipped") {
+    val work = TestFixtures.workRoot.resolve("stream-idem")
+    val t = GraftTable.create(work.resolve("tbl").toString, spark)
+    val batch = graft.images.ImageGen.df(spark, 20, seed = 77L, partitions = 2)
+    val ckpt = work.resolve("ckpt").toString
+    // First delivery commits; the foreachBatch redelivery of the SAME
+    // batchId (at-least-once after a crash between table commit and
+    // checkpoint offset commit) must be a no-op.
+    assert(StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 0L))
+    assert(t.scan().count() == 20)
+    assert(!StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 0L))
+    assert(t.scan().count() == 20)
+    assert(t.meta.snapshots.count(_.operation == "append") == 1)
+    // A different batch id (or another checkpoint) is new work.
+    assert(StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 1L))
+    assert(t.scan().count() == 40)
+    assert(StreamingIngest.idempotentAppend(t, batch, work.resolve("ckpt2").toString, 1L))
+    assert(t.scan().count() == 60)
+  }
+
   test("cluster exchange is skew-safe: a hot curve key collapses to one partition, rows survive") {
     val work = TestFixtures.workRoot.resolve("cluster-skew")
     val t = GraftTable.create(work.resolve("tbl").toString, spark)

@@ -46,22 +46,29 @@ object Compact {
     * capacity `targetBytes`. Only files < smallFileThreshold participate;
     * singleton bins are dropped (rewriting one file alone buys nothing).
     * Deterministic: candidates sorted by (size desc, path) so a resumed run
-    * re-derives the identical plan. */
+    * re-derives the identical plan. `groupOf` keeps bins within one group
+    * (the table's partition value): a partitioned table's compaction must
+    * not merge files across partitions, or the outputs would lose their
+    * partition value and with it manifest-level pruning. */
   def plan(files: Seq[DataFileMeta], targetBytes: Long,
-      smallFileFraction: Double = 0.75): Seq[Seq[DataFileMeta]] = {
+      smallFileFraction: Double = 0.75,
+      groupOf: DataFileMeta => Option[String] = _ => None): Seq[Seq[DataFileMeta]] = {
     val threshold = (targetBytes * smallFileFraction).toLong
-    val candidates = files.filter(_.fileSizeBytes < threshold)
-      .sortBy(f => (-f.fileSizeBytes, f.path))
-    val bins = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[DataFileMeta], Long)]()
-    for (f <- candidates) {
-      val i = bins.indexWhere { case (_, used) => used + f.fileSizeBytes <= targetBytes }
-      if (i >= 0) {
-        val (b, used) = bins(i)
-        b += f
-        bins(i) = (b, used + f.fileSizeBytes)
-      } else bins += ((scala.collection.mutable.ArrayBuffer(f), f.fileSizeBytes))
-    }
-    bins.map(_._1.toSeq).filter(_.size >= 2).toSeq
+    files.filter(_.fileSizeBytes < threshold)
+      .groupBy(groupOf).toSeq.sortBy(_._1.getOrElse(""))
+      .flatMap { case (_, group) =>
+        val candidates = group.sortBy(f => (-f.fileSizeBytes, f.path))
+        val bins = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[DataFileMeta], Long)]()
+        for (f <- candidates) {
+          val i = bins.indexWhere { case (_, used) => used + f.fileSizeBytes <= targetBytes }
+          if (i >= 0) {
+            val (b, used) = bins(i)
+            b += f
+            bins(i) = (b, used + f.fileSizeBytes)
+          } else bins += ((scala.collection.mutable.ArrayBuffer(f), f.fileSizeBytes))
+        }
+        bins.map(_._1.toSeq).filter(_.size >= 2).toSeq
+      }
   }
 
   /** Deterministic job id from (op, base snapshot, params, inputs): a
@@ -90,7 +97,9 @@ object Compact {
     val jobT0 = System.nanoTime()
     val base = t.currentSnapshot
     val files = t.snapshotFiles(base)
-    val bins = plan(files, targetBytes)
+    val spec = t.meta.partitionSpec
+    val bins = plan(files, targetBytes,
+      groupOf = f => spec.flatMap(graft.table.PartitionSpec.partitionOf(_, f)))
     val jid = jobId("compact", base.snapshotId, targetBytes.toString, bins.flatten.map(_.path))
 
     // Idempotence: if a previous attempt already committed the table snapshot,

@@ -126,19 +126,40 @@ class GraftTable(val root: String, val spark: SparkSession) {
     target
   }
 
-  /** Pruned scan: drop whole files whose min/max stats refute the filters,
-    * then apply the filters row-level (Parquet row-group pruning + codegen
-    * handle the rest). */
-  def scanWhere(filters: Seq[PruneFilter], snapshotId: Option[Long] = None): DataFrame = {
+  /** Manifests a filtered scan must OPEN, after partition pruning: a
+    * declared partition spec + per-manifest partition values (resident in
+    * the snapshot) refute whole manifests without reading them — the coarse
+    * prune that runs before any per-file stats walk. */
+  def planManifests(filters: Seq[PruneFilter],
+      snapshotId: Option[Long] = None): Seq[String] = {
     val s = resolveSnapshot(snapshotId)
-    val files = snapshotFiles(s).filter(f => filters.forall(PruneFilter.mayMatch(f, _)))
+    meta.partitionSpec match {
+      case None => s.manifests
+      case Some(spec) => s.manifests.filter { name =>
+        s.partitionOfManifest(name) match {
+          case Some(pv) => filters.forall(PartitionSpec.mayMatch(spec, pv, _))
+          case None => true // unpartitioned/mixed manifest: always scanned
+        }
+      }
+    }
+  }
+
+  /** Pruned scan: skip whole manifests via the partition spec, then drop
+    * files whose min/max stats refute the filters, then apply the filters
+    * row-level (Parquet row-group pruning + codegen handle the rest). */
+  def scanWhere(filters: Seq[PruneFilter], snapshotId: Option[Long] = None): DataFrame = {
+    val files = planManifests(filters, snapshotId)
+      .flatMap(n => MetaIO.readManifest(root, n).files)
+      .filter(f => filters.forall(PruneFilter.mayMatch(f, _)))
     val df = readFiles(files)
     filters.foldLeft(df)((d, f) => d.filter(PruneFilter.toColumn(f)))
   }
 
   /** How many files a pruned scan would open (observability for tests/bench). */
   def planFiles(filters: Seq[PruneFilter]): Seq[DataFileMeta] =
-    currentFiles.filter(f => filters.forall(PruneFilter.mayMatch(f, _)))
+    planManifests(filters)
+      .flatMap(n => MetaIO.readManifest(root, n).files)
+      .filter(f => filters.forall(PruneFilter.mayMatch(f, _)))
 
   private def readFiles(files: Seq[DataFileMeta]): DataFrame =
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -264,25 +285,45 @@ class GraftTable(val root: String, val spark: SparkSession) {
       attempts += 1
       // Manifests are (re)derived from the FRESH base each attempt: a lost
       // race must never re-commit manifest sets built from a stale file set.
+      val spec = m.partitionSpec
       val parent = m.currentSnapshot
       val baseManifests = parent.map(_.manifests).getOrElse(Nil)
       val keptManifests = mutable.ArrayBuffer[String]()
+      val pvals = mutable.Map[String, String]()
       for (name <- baseManifests) {
         val data = MetaIO.readManifest(root, name)
+        // Removal never widens a manifest's value set, so the partition
+        // value carries through rewrites unchanged.
+        val pv = parent.flatMap(_.partitionOfManifest(name)).orElse(data.partition)
         val kept = data.files.filterNot(f => removedPaths.contains(f.path))
-        if (kept.size == data.files.size) keptManifests += name
-        else if (kept.nonEmpty) {
+        if (kept.size == data.files.size) {
+          keptManifests += name
+          pv.foreach(v => pvals += name -> v)
+        } else if (kept.nonEmpty) {
           val nn = s"manifest-${UUID.randomUUID().toString.take(12)}.json"
-          MetaIO.writeManifest(root, nn, ManifestData(kept))
+          MetaIO.writeManifest(root, nn, ManifestData(kept, pv))
           keptManifests += nn
+          pv.foreach(v => pvals += nn -> v)
         } // fully-removed manifest: dropped
       }
+      // Added files GROUP BY partition value (one manifest per value) when a
+      // spec is declared — the grouping that makes manifest-level pruning
+      // real. Files that span partitions (or lack stats) go into one
+      // unpartitioned manifest that every filtered scan still opens.
       val newManifests =
         if (added.isEmpty) Nil
         else {
-          val nn = s"manifest-${UUID.randomUUID().toString.take(12)}.json"
-          MetaIO.writeManifest(root, nn, ManifestData(added))
-          Seq(nn)
+          val groups: Seq[(Option[String], Seq[DataFileMeta])] = spec match {
+            case None => Seq((None, added))
+            case Some(sp) => added.groupBy(f => PartitionSpec.partitionOf(sp, f))
+              .toSeq.sortBy(_._1.getOrElse(""))
+          }
+          groups.map { case (pv, fs) =>
+            val nn = s"manifest-${UUID.randomUUID().toString.take(12)}.json"
+            MetaIO.writeManifest(root, nn, ManifestData(fs.sortBy(_.path), pv))
+            pv.foreach(v => pvals += nn -> v)
+            nn
+          }
         }
       val snap = Snapshot(
         snapshotId = m.nextSnapshotId,
@@ -294,7 +335,8 @@ class GraftTable(val root: String, val spark: SparkSession) {
           "added-files" -> added.size.toString,
           "removed-files" -> removedPaths.size.toString,
           "added-bytes" -> added.map(_.fileSizeBytes).sum.toString,
-          "added-rows" -> added.map(_.rowCount).sum.toString))
+          "added-rows" -> added.map(_.rowCount).sum.toString),
+        partitionValues = if (pvals.isEmpty) None else Some(pvals.toMap))
       result = snap
       Some(m.copy(currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap))
@@ -318,8 +360,14 @@ object GraftTable {
     Set("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
   def create(root: String, spark: SparkSession, schemaDdl: String = ImageSchemaDdl,
-      properties: Map[String, String] = Map.empty): GraftTable = {
+      properties: Map[String, String] = Map.empty,
+      partitionSpec: Option[PartitionSpec] = None): GraftTable = {
     require(MetaIO.currentVersion(root).isEmpty, s"table already exists at $root")
+    partitionSpec.foreach { sp =>
+      PartitionSpec.validate(sp)
+      require(StructType.fromDDL(schemaDdl).fieldNames.contains(sp.column),
+        s"partition column ${sp.column} not in schema")
+    }
     // A prior table at this root (deleted by e.g. bench-trial cleanup) may
     // have live cache entries in this process; drop them before re-creating.
     MetaIO.invalidate(root)
@@ -331,7 +379,8 @@ object GraftTable {
       properties = Map("write.target-file-size-bytes" -> (8L * 1024 * 1024).toString)
         ++ properties,
       currentSnapshotId = None,
-      snapshots = Nil)
+      snapshots = Nil,
+      partitionSpec = partitionSpec)
     if (!MetaIO.tryCommit(root, 0, meta))
       throw new IllegalStateException(s"race creating table at $root")
     new GraftTable(root, spark)

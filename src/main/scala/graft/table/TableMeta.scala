@@ -33,6 +33,74 @@ object TableJson {
   * at pruning time. Mirrors Iceberg's per-data-file lower_bounds/upper_bounds. */
 case class ColStats(min: Option[String], max: Option[String], nullCount: Long)
 
+/** Iceberg-style declared partitioning: `transform(column)` is the coarse
+  * pruning key applied BEFORE per-file stats. Transforms: `identity` and
+  * `truncate[N]` (floor to a multiple of N, longs). At 10^12 rows with
+  * time- or source-ordered ingest this is the workhorse prune — a
+  * partition-filtered scan skips whole manifests without opening them,
+  * where stats pruning still walks every manifest's file entries. */
+case class PartitionSpec(column: String, transform: String)
+
+object PartitionSpec {
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  def validate(spec: PartitionSpec): Unit = spec.transform match {
+    case "identity" | TruncateRe(_) => ()
+    case other => throw new IllegalArgumentException(
+      s"unknown partition transform: $other (want identity | truncate[N])")
+  }
+
+  /** transform(raw column value); None if the value doesn't fit the
+    * transform (e.g. non-numeric under truncate) — callers must keep
+    * (never prune) on None. */
+  def applyTransform(spec: PartitionSpec, v: String): Option[String] =
+    spec.transform match {
+      case "identity" => Some(v)
+      case TruncateRe(n) =>
+        scala.util.Try(Math.floorDiv(v.toLong, n.toLong) * n.toLong).toOption
+          .map(_.toString)
+      case _ => None
+    }
+
+  /** The single partition value a data file belongs to, derived from its
+    * column stats: defined iff transform(min) == transform(max) (the file is
+    * partition-pure). Mixed or stat-less files get None — still scanned
+    * under any partition filter, never wrongly pruned. */
+  def partitionOf(spec: PartitionSpec, f: DataFileMeta): Option[String] =
+    f.stats.get(spec.column).flatMap { s =>
+      (s.min, s.max) match {
+        case (Some(mn), Some(mx)) =>
+          for {
+            a <- applyTransform(spec, mn)
+            b <- applyTransform(spec, mx)
+            if a == b
+          } yield a
+        case _ => None
+      }
+    }
+
+  /** Can a manifest whose files all carry partition value `pv` contain rows
+    * matching `f`? Only filters on the partition column prune; unknown
+    * shapes keep. Under truncate[N], `pv` covers the value interval
+    * [pv, pv + N). */
+  def mayMatch(spec: PartitionSpec, pv: String, f: PruneFilter): Boolean = {
+    if (f.col != spec.column) return true
+    val width: Long = spec.transform match {
+      case TruncateRe(n) => n.toLong
+      case _ => 1L
+    }
+    def pvLong: Option[Long] = scala.util.Try(pv.toLong).toOption
+    f match {
+      case EqString(_, v) => applyTransform(spec, v).forall(_ == pv)
+      case EqLong(_, v) => applyTransform(spec, v.toString).forall(_ == pv)
+      case RangeLong(_, lo, hi) =>
+        pvLong.forall(p => p <= hi && p + width - 1 >= lo)
+      case GeLong(_, lo) => pvLong.forall(p => p + width - 1 >= lo)
+      case LeLong(_, hi) => pvLong.forall(p => p <= hi)
+    }
+  }
+}
+
 /** One immutable data file. `path` is relative to the table root. */
 case class DataFileMeta(
     path: String,
@@ -46,7 +114,8 @@ case class DataFileMeta(
   * snapshots that did not touch its files — this sharing is what makes
   * snapshot expiration a reference-counting/reachability problem
   * (reference analog: sourceChunkIds refcount lists, core/src/types.ts:34-41). */
-case class ManifestData(files: Seq[DataFileMeta]) {
+case class ManifestData(files: Seq[DataFileMeta],
+    partition: Option[String] = None) {
   def totalBytes: Long = files.map(_.fileSizeBytes).sum
   def totalRows: Long = files.map(_.rowCount).sum
 }
@@ -57,7 +126,15 @@ case class Snapshot(
     timestampMs: Long,
     operation: String, // append | compact | cluster | rewrite-manifests | merge | expire | transcode
     manifests: Seq[String], // metadata-relative manifest file names
-    summary: Map[String, String])
+    summary: Map[String, String],
+    // manifest name -> partition value, for manifests whose files all share
+    // one transform(column) value; resident in the snapshot so partition
+    // pruning decides per MANIFEST without opening any of them. Absent
+    // entries (or None, pre-partition-spec snapshots) always scan.
+    partitionValues: Option[Map[String, String]] = None) {
+  def partitionOfManifest(name: String): Option[String] =
+    partitionValues.flatMap(_.get(name))
+}
 
 case class TableMetadata(
     formatVersion: Int,
@@ -65,7 +142,8 @@ case class TableMetadata(
     schemaDdl: String,
     properties: Map[String, String],
     currentSnapshotId: Option[Long],
-    snapshots: Seq[Snapshot]) {
+    snapshots: Seq[Snapshot],
+    partitionSpec: Option[PartitionSpec] = None) {
 
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))

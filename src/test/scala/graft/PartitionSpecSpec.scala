@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.images.ImageGen
+import graft.jobs.Compact
+import graft.table.{ColStats, DataFileMeta, EqLong, EqString, GeLong, GraftTable,
+  LeLong, PartitionSpec, RangeLong}
+
+/** Declared partitioning (Iceberg-style spec): partition values written into
+  * manifests, manifest-level pruning before stats, transforms, and
+  * partition-preserving compaction. */
+class PartitionSpecSpec extends GraftSuite {
+
+  private def file(stats: Map[String, ColStats]) =
+    DataFileMeta("data/x.parquet", 1L, 10L, stats)
+
+  test("transforms: identity and truncate[N], floor semantics for negatives") {
+    val id = PartitionSpec("fmt", "identity")
+    assert(PartitionSpec.applyTransform(id, "png") == Some("png"))
+    val tr = PartitionSpec("phash", "truncate[1000]")
+    assert(PartitionSpec.applyTransform(tr, "1234") == Some("1000"))
+    assert(PartitionSpec.applyTransform(tr, "-1") == Some("-1000")) // floor, not toward zero
+    assert(PartitionSpec.applyTransform(tr, "not-a-number").isEmpty)
+    intercept[IllegalArgumentException] {
+      PartitionSpec.validate(PartitionSpec("x", "bucket[8]"))
+    }
+  }
+
+  test("partitionOf derives a value only for partition-pure files") {
+    val spec = PartitionSpec("fmt", "identity")
+    assert(PartitionSpec.partitionOf(spec,
+      file(Map("fmt" -> ColStats(Some("png"), Some("png"), 0)))) == Some("png"))
+    assert(PartitionSpec.partitionOf(spec,
+      file(Map("fmt" -> ColStats(Some("jpg"), Some("png"), 0)))).isEmpty)
+    assert(PartitionSpec.partitionOf(spec, file(Map.empty)).isEmpty)
+    val tr = PartitionSpec("w", "truncate[64]")
+    // 130 and 180 both truncate to 128: pure despite min != max.
+    assert(PartitionSpec.partitionOf(tr,
+      file(Map("w" -> ColStats(Some("130"), Some("180"), 0)))) == Some("128"))
+  }
+
+  test("mayMatch prunes eq and range filters against identity and truncate values") {
+    val id = PartitionSpec("fmt", "identity")
+    assert(PartitionSpec.mayMatch(id, "png", EqString("fmt", "png")))
+    assert(!PartitionSpec.mayMatch(id, "png", EqString("fmt", "jpg")))
+    assert(PartitionSpec.mayMatch(id, "png", EqString("other_col", "jpg"))) // non-partition col: keep
+    val tr = PartitionSpec("phash", "truncate[100]")
+    assert(PartitionSpec.mayMatch(tr, "100", EqLong("phash", 150)))
+    assert(!PartitionSpec.mayMatch(tr, "100", EqLong("phash", 250)))
+    // pv=100 under truncate[100] covers [100, 199]: intersects [190, 210].
+    assert(PartitionSpec.mayMatch(tr, "100", RangeLong("phash", 190, 210)))
+    assert(!PartitionSpec.mayMatch(tr, "100", RangeLong("phash", 200, 210)))
+    assert(PartitionSpec.mayMatch(tr, "200", RangeLong("phash", 190, 210)))
+    assert(PartitionSpec.mayMatch(tr, "100", GeLong("phash", 199)))
+    assert(!PartitionSpec.mayMatch(tr, "100", GeLong("phash", 200)))
+    assert(PartitionSpec.mayMatch(tr, "100", LeLong("phash", 100)))
+    assert(!PartitionSpec.mayMatch(tr, "200", LeLong("phash", 199)))
+  }
+
+  test("partition-filtered scan opens only that partition's manifests; append records values") {
+    val root = TestFixtures.workRoot.resolve("part-tbl").toString
+    val t = GraftTable.create(root, spark,
+      partitionSpec = Some(PartitionSpec("fmt", "identity")))
+    // Partition-clustered appends (the writer contract, as in Iceberg):
+    // one batch per fmt -> partition-pure files -> valued manifests.
+    val all = ImageGen.df(spark, 120, seed = 5L, partitions = 4).cache()
+    GraftTable.append(t, all.filter(col("fmt") === "png"), targetFiles = Some(3))
+    GraftTable.append(t, all.filter(col("fmt") === "jpg"), targetFiles = Some(2))
+    all.unpersist()
+
+    val snap = t.currentSnapshot
+    assert(snap.partitionValues.isDefined, "append must record partition values")
+    val vals = snap.manifests.flatMap(snap.partitionOfManifest)
+    assert(vals.toSet == Set("png", "jpg"), s"got $vals")
+
+    val pngManifests = t.planManifests(Seq(EqString("fmt", "png")))
+    assert(pngManifests.size < snap.manifests.size,
+      s"partition filter must prune manifests (${pngManifests.size}/${snap.manifests.size})")
+    assert(pngManifests.forall(n => snap.partitionOfManifest(n).contains("png")))
+
+    // Pruned scan correctness: identical rows to an unpruned filter.
+    val expected = t.scan().filter(col("fmt") === "png").count()
+    assert(t.scanWhere(Seq(EqString("fmt", "png"))).count() == expected)
+    // And only the pruned manifests' files are opened.
+    assert(t.planFiles(Seq(EqString("fmt", "png"))).size ==
+      pngManifests.map(n => graft.table.MetaIO.readManifest(root, n).files.size).sum)
+  }
+
+  test("compaction bins never cross partitions; outputs keep their partition value") {
+    val root = TestFixtures.workRoot.resolve("part-compact").toString
+    val t = GraftTable.create(root, spark,
+      partitionSpec = Some(PartitionSpec("fmt", "identity")))
+    val all = ImageGen.df(spark, 300, seed = 6L, partitions = 4).cache()
+    // Manufactured small-files problem per partition.
+    GraftTable.append(t, all.filter(col("fmt") === "png"), targetFiles = Some(12))
+    GraftTable.append(t, all.filter(col("fmt") === "jpg"), targetFiles = Some(8))
+    all.unpersist()
+    val rowsBefore = t.scan().count()
+    val filesBefore = t.currentFiles.size
+
+    val res = Compact.run(t, targetBytes = 8L * 1024 * 1024)
+    assert(res.snapshot.isDefined)
+    assert(t.currentFiles.size < filesBefore)
+    assert(t.scan().count() == rowsBefore)
+
+    // Every post-compaction manifest still carries a partition value
+    // (a cross-partition bin would have produced a mixed, value-less file).
+    val snap = t.currentSnapshot
+    val valued = snap.manifests.flatMap(snap.partitionOfManifest)
+    assert(valued.size == snap.manifests.size,
+      s"all manifests must stay partition-pure: ${valued.size}/${snap.manifests.size}")
+    assert(valued.toSet == Set("png", "jpg"))
+    // Pruning still effective after compaction.
+    val pngFiles = t.planFiles(Seq(EqString("fmt", "png")))
+    assert(pngFiles.size < t.currentFiles.size)
+  }
+}

@@ -88,12 +88,17 @@ object Compact {
     * (measured ~30-50ms/job on the DAGScheduler event loop — dominates when
     * bins are small); one job per WAVE amortizes it while keeping bin-level
     * lineage and wave-level resume. waveSize=1 degenerates to the
-    * job-per-bin mode (used by the kill/resume test). */
+    * job-per-bin mode (used by the kill/resume test); waveSize=0 (default)
+    * picks ~maxConcurrentBins equal waves, so the driver-side construction +
+    * analysis of one wave's union plan (measured ~3-4 s for a 92-child
+    * union, identical at every executor count — pure non-scaling driver
+    * time) OVERLAPS the execution of the others instead of serializing in
+    * front of the only job. */
   def run(t: GraftTable,
       targetBytes: Long = 8L * 1024 * 1024,
       maxConcurrentBins: Int = 8,
       failAfterUnits: Option[Int] = None,
-      waveSize: Int = 128): Result = {
+      waveSize: Int = 0): Result = {
     val jobT0 = System.nanoTime()
     val base = t.currentSnapshot
     val files = t.snapshotFiles(base)
@@ -113,7 +118,11 @@ object Compact {
 
     val already = Lineage.committedUnits(t.root, jid)
     val todo = bins.indices.filterNot(already.contains)
-    val waves = todo.grouped(math.max(1, waveSize)).toSeq
+    val effWave =
+      if (waveSize > 0) waveSize
+      else math.min(128, math.max(4,
+        math.ceil(todo.size.toDouble / math.max(1, maxConcurrentBins)).toInt))
+    val waves = todo.grouped(math.max(1, effWave)).toSeq
 
     // Wave jobs need Union to CONCATENATE child partitions (see
     // GraftSession); set defensively for externally-built sessions.

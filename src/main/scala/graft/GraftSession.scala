@@ -21,6 +21,13 @@ object GraftSession {
       .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // The dominant shuffle payload is the `bytes` column — already-
+      // compressed PNG/JPG — so lz4-ing the exchange is pure CPU loss:
+      // measured -40% cluster-phase time at 4x2-core executors and -27%
+      // at 1 executor with compression off (BENCH/BASELINE.md §2 A/B).
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.reducer.maxSizeInFlight", "96m")
       .config("spark.ui.enabled", "false")
 
   def get(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

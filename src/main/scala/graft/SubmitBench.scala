@@ -34,6 +34,14 @@ object SubmitBench {
       // bound), so the scaling efficiency is unchanged.
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
+      // Engine default (see GraftSession): image payloads are already
+      // compressed, shuffle lz4 is wasted CPU. SPARK_GRAFT_SHUFFLE_COMPRESS
+      // re-enables for A/B.
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.reducer.maxSizeInFlight", "96m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // defaultParallelism is 2 until executors register; for

@@ -40,10 +40,34 @@ object Main {
           val rows = arg(args, "rows").map(_.toLong).getOrElse(1000L)
           val files = arg(args, "files").map(_.toInt).getOrElse(100)
           val seed = arg(args, "seed").map(_.toLong).getOrElse(42L)
+          // --partition-by col[:transform], e.g. fmt or phash:truncate[1024]
+          val pspec = arg(args, "partition-by").map { s =>
+            val p = s.split(":", 2)
+            PartitionSpec(p(0), if (p.length > 1) p(1) else "identity")
+          }
           val t = if (MetaIO.currentVersion(root).isDefined) GraftTable.load(root, spark)
-                  else GraftTable.create(root, spark)
-          val snap = GraftTable.append(t, ImageGen.df(spark, rows, seed, files))
-          println(s"appended snapshot=${snap.snapshotId} rows=$rows files=${snap.summary("added-files")} bytes=${snap.summary("added-bytes")}")
+                  else GraftTable.create(root, spark, partitionSpec = pspec)
+          val df = ImageGen.df(spark, rows, seed, files)
+          val spec = t.meta.partitionSpec
+          val snap = spec match {
+            case None => GraftTable.append(t, df)
+            case Some(sp) =>
+              // Writer contract for partitioned tables: cluster the batch by
+              // the partition transform so files are partition-pure and the
+              // commit groups them into valued manifests. Demo-scale: one
+              // write per value, ONE commit.
+              val pc = PartitionSpec.toColumn(sp)
+              val cached = df.cache()
+              val vals = cached.select(pc.as("v")).distinct()
+                .collect().map(_.getString(0)).sorted
+              val per = math.max(1, files / math.max(1, vals.length))
+              val out = vals.flatMap(v =>
+                t.writeDataFiles(cached.filter(pc === v), targetFiles = Some(per)))
+              cached.unpersist()
+              t.commit("append", out.toSeq, Set.empty)
+          }
+          println(s"appended snapshot=${snap.snapshotId} rows=$rows files=${snap.summary("added-files")} bytes=${snap.summary("added-bytes")}" +
+            spec.map(sp => s" partitions=${snap.partitionValues.map(_.values.toSet.size).getOrElse(0)} (${sp.column}:${sp.transform})").getOrElse(""))
         case "ingest" =>
           // External-directory ingest (reference scanner.ts:80-140):
           //   ingest --root TBL --dir DIR [--include G1,G2] [--exclude G1,G2]
@@ -90,7 +114,10 @@ object Main {
           val pruned = t.planFiles(filters).size
           val df = t.scanWhere(filters, snapId)
           val n = df.count()
-          println(s"scan rows=$n prunedFiles=$pruned/${t.currentFiles.size}")
+          val manifestNote = if (t.meta.partitionSpec.isDefined)
+            s" prunedManifests=${t.planManifests(filters).size}/${t.currentSnapshot.manifests.size}"
+          else ""
+          println(s"scan rows=$n prunedFiles=$pruned/${t.currentFiles.size}$manifestNote")
           if (arg(args, "show").isDefined)
             df.selectExpr("image_id", "w", "h", "fmt", "substring(caption,1,40) as caption", "phash")
               .show(20, truncate = false)

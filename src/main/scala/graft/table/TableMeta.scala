@@ -50,6 +50,21 @@ object PartitionSpec {
       s"unknown partition transform: $other (want identity | truncate[N])")
   }
 
+  /** The transform as a Spark Column (string-typed, matching the stored
+    * partition-value strings) — the writer-side clustering key: shaping a
+    * batch by this column before append yields partition-pure files and
+    * therefore valued manifests. Integer-exact for truncate (col - pmod),
+    * no floating floor. */
+  def toColumn(spec: PartitionSpec): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    spec.transform match {
+      case "identity" => col(spec.column).cast("string")
+      case TruncateRe(n) =>
+        (col(spec.column) - pmod(col(spec.column), lit(n.toLong))).cast("string")
+      case other => throw new IllegalArgumentException(s"transform: $other")
+    }
+  }
+
   /** transform(raw column value); None if the value doesn't fit the
     * transform (e.g. non-numeric under truncate) — callers must keep
     * (never prune) on None. */

@@ -348,7 +348,7 @@ object SparkEntry {
     "q34_ivf_topk" -> ((s, d) => {
       val e = ld(s, d, "embeddings")
       def cosLit(v: Column, cv: Array[Double], scale: Int): Column = {
-        val arr = array(cv.map(x => lit(x)): _*)
+        val arr = array(cv.toIndexedSeq.map(x => lit(x)): _*)
         round(
           aggregate(zip_with(v, arr, (x, y) => x * y), lit(0.0d), (a, x) => a + x)
             / (sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
@@ -360,7 +360,7 @@ object SparkEntry {
           r.getSeq[Float](1).map(_.toDouble).toArray))
         .sortBy(_._1)
       val qv = e.filter(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       // nprobe=2 probe lists, picked driver-side from the same rounded sims.
       def cosArr(a: Array[Double], b: Array[Double]): Double = {
         val dot = a.zip(b).map { case (x, y) => x * y }.sum
@@ -370,12 +370,12 @@ object SparkEntry {
       val probes = cents.map { case (cid, cv) => (cid, cosArr(qv, cv)) }
         .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1)
       // argmax centroid via struct-max: (sim, -cid) ties break to smaller cid.
-      val best = array_max(array(cents.map { case (cid, cv) =>
+      val best = array_max(array(cents.toIndexedSeq.map { case (cid, cv) =>
         struct(cosLit(col("embedding"), cv, 6).as("sim"), lit(-cid).as("ncid"))
       }: _*))
       e.filter(col("vec_id") =!= 0)
         .withColumn("bucket", -best.getField("ncid"))
-        .filter(col("bucket").isin(probes.map(Long.box): _*))
+        .filter(col("bucket").isin(probes.toIndexedSeq.map(Long.box): _*))
         .withColumn("cos", cosLit(col("embedding"), qv, 4))
         .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
         .select(col("vec_id"), col("bucket"), col("cos"))

@@ -68,7 +68,7 @@ object GraphOps {
     import spark.implicits._
     val attrCols = edges.columns.filterNot(c => c == "src" || c == "dst")
     val attrs = if (attrCols.isEmpty) lit("{}")
-      else to_json(struct(attrCols.map(col): _*))
+      else to_json(struct(attrCols.toIndexedSeq.map(col): _*))
     val e = edges.select(col("src"), col("dst"), attrs.as("eattrs"))
     var parents = Seq((from, "", "")).toDF("id", "parent", "eattrs").localCheckpoint(true)
     var frontier = parents.select(col("id"))

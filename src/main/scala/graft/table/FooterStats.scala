@@ -50,7 +50,8 @@ object FooterStats {
           val c = cit.next()
           val name = c.getPath.toDotString
           if (statCols.contains(name) && !unbounded.contains(name)) {
-            val st = c.getStatistics
+            val st: org.apache.parquet.column.statistics.Statistics[_] =
+              c.getStatistics
             if (st != null && !st.isEmpty) {
               nulls(name) = nulls(name) + st.getNumNulls
               if (st.hasNonNullValue) {
@@ -91,7 +92,10 @@ object FooterStats {
       case (x: java.lang.Double, y: java.lang.Double) => pick(x.doubleValue, y.doubleValue)
       case (x: java.lang.Float, y: java.lang.Float) => pick(x.floatValue, y.floatValue)
       case (x: Binary, y: Binary) =>
-        if ((x.compareTo(y) <= 0) == min) x else y
+        // Compare in the RENDERED (UTF-16 String) order: PruneFilter's
+        // mayMatch compares manifest strings with Scala String ordering, so
+        // min/max must be picked under the same ordering to stay sound.
+        if ((x.toStringUsingUTF8.compareTo(y.toStringUsingUTF8) <= 0) == min) x else y
       case (x, _) => x
     }
   }

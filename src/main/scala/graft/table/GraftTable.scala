@@ -230,7 +230,7 @@ class GraftTable(val root: String, val spark: SparkSession) {
     }
     val rows = spark.read.schema(sch).parquet(dir)
       .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .agg(count(lit(1)).as("__rows"), aggs.toIndexedSeq: _*)
       .collect()
     val prefix = "file:" // input_file_name returns a URI on local FS
     rows.toSeq.map { r =>

@@ -38,7 +38,7 @@ class EvolutionIngestSpec extends GraftSuite {
   test("widening int->long is additive and old int32 files still read") {
     val t = TestFixtures.freshTable("evolve-widen")
     val rowsBefore = t.scan().count()
-    val sumBefore = t.scan().agg(sum(col("w").cast("long"))).head.getLong(0)
+    val sumBefore = t.scan().agg(sum(col("w").cast("long"))).head().getLong(0)
     val changes = t.evolveSchema(
       "image_id STRING, bytes BINARY, w BIGINT, h INT, fmt STRING, caption STRING, phash BIGINT")
     assert(changes.exists {
@@ -47,7 +47,7 @@ class EvolutionIngestSpec extends GraftSuite {
     val df = t.scan()
     assert(df.schema("w").dataType == org.apache.spark.sql.types.LongType)
     assert(df.count() == rowsBefore)
-    assert(df.agg(sum("w")).head.getLong(0) == sumBefore)
+    assert(df.agg(sum("w")).head().getLong(0) == sumBefore)
   }
 
   test("breaking changes are refused with a full classification") {

@@ -56,13 +56,26 @@ object RewriteManifests {
           }.toSeq
         } else files0
 
-      val sorted = files.sortBy(f =>
-        (f.stats.get("phash").flatMap(_.min).map(_.toLong).getOrElse(Long.MinValue), f.path))
-      val groups = sorted.grouped(math.max(1, targetFilesPerManifest)).toSeq
-      val names = groups.map { g =>
-        val nn = s"manifest-${UUID.randomUUID().toString.take(12)}.json"
-        MetaIO.writeManifest(t.root, nn, ManifestData(g))
-        nn
+      // Partitioned tables: group by partition value FIRST (one manifest
+      // chain per value, so manifest-level partition pruning survives the
+      // rewrite), then phash-sort + size-group within each partition.
+      val partGroups: Seq[(Option[String], Seq[DataFileMeta])] =
+        m.partitionSpec match {
+          case None => Seq((None, files))
+          case Some(sp) =>
+            files.groupBy(f => graft.table.PartitionSpec.partitionOf(sp, f))
+              .toSeq.sortBy(_._1.getOrElse(""))
+        }
+      val pvals = scala.collection.mutable.Map[String, String]()
+      val names = partGroups.flatMap { case (pv, fs) =>
+        val sorted = fs.sortBy(f =>
+          (f.stats.get("phash").flatMap(_.min).map(_.toLong).getOrElse(Long.MinValue), f.path))
+        sorted.grouped(math.max(1, targetFilesPerManifest)).map { g =>
+          val nn = s"manifest-${UUID.randomUUID().toString.take(12)}.json"
+          MetaIO.writeManifest(t.root, nn, ManifestData(g, pv))
+          pv.foreach(v => pvals += nn -> v)
+          nn
+        }
       }
 
       // Commit a snapshot with the SAME files, new manifest organization —
@@ -71,7 +84,8 @@ object RewriteManifests {
         System.currentTimeMillis(), "rewrite-manifests", names,
         Map("manifest-layout" -> layoutHash(names),
           "manifests-before" -> before.toString,
-          "manifests-after" -> names.size.toString))
+          "manifests-after" -> names.size.toString),
+        partitionValues = if (pvals.isEmpty) None else Some(pvals.toMap))
       val nm = m.copy(currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap)
       if (MetaIO.tryCommit(t.root, v, nm)) {

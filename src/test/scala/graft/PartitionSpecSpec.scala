@@ -87,6 +87,26 @@ class PartitionSpecSpec extends GraftSuite {
       pngManifests.map(n => graft.table.MetaIO.readManifest(root, n).files.size).sum)
   }
 
+  test("rewrite-manifests keeps one manifest chain per partition; pruning survives") {
+    val root = TestFixtures.workRoot.resolve("part-rewrite").toString
+    val t = GraftTable.create(root, spark,
+      partitionSpec = Some(PartitionSpec("fmt", "identity")))
+    val all = ImageGen.df(spark, 150, seed = 8L, partitions = 3).cache()
+    GraftTable.append(t, all.filter(col("fmt") === "png"), targetFiles = Some(4))
+    GraftTable.append(t, all.filter(col("fmt") === "jpg"), targetFiles = Some(3))
+    all.unpersist()
+    val res = graft.jobs.RewriteManifests.run(t, targetFilesPerManifest = 100)
+    assert(res.snapshot.isDefined && !res.skippedUnchanged)
+    val snap = t.currentSnapshot
+    // Consolidated to one manifest per partition value, values intact.
+    assert(snap.manifests.size == 2, s"got ${snap.manifests}")
+    assert(snap.manifests.flatMap(snap.partitionOfManifest).toSet == Set("png", "jpg"))
+    val pngM = t.planManifests(Seq(EqString("fmt", "png")))
+    assert(pngM.size == 1 && snap.partitionOfManifest(pngM.head).contains("png"))
+    assert(t.scanWhere(Seq(EqString("fmt", "png"))).count() ==
+      t.scan().filter(col("fmt") === "png").count())
+  }
+
   test("compaction bins never cross partitions; outputs keep their partition value") {
     val root = TestFixtures.workRoot.resolve("part-compact").toString
     val t = GraftTable.create(root, spark,

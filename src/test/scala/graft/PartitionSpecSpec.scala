@@ -87,6 +87,30 @@ class PartitionSpecSpec extends GraftSuite {
       pngManifests.map(n => graft.table.MetaIO.readManifest(root, n).files.size).sum)
   }
 
+  test("MERGE copy-on-write keeps rewritten manifests' partition values") {
+    import spark.implicits._
+    val root = TestFixtures.workRoot.resolve("part-merge").toString
+    val t = GraftTable.create(root, spark,
+      partitionSpec = Some(PartitionSpec("fmt", "identity")))
+    val all = ImageGen.df(spark, 120, seed = 12L, partitions = 4).cache()
+    GraftTable.append(t, all.filter(col("fmt") === "png"), targetFiles = Some(3))
+    GraftTable.append(t, all.filter(col("fmt") === "jpg"), targetFiles = Some(2))
+    val anyPng = all.filter(col("fmt") === "png")
+      .select("image_id").head().getString(0)
+    all.unpersist()
+    val res = graft.jobs.MergeInto.run(t,
+      Seq((anyPng, "merged caption")).toDF("image_id", "caption"))
+    assert(res.snapshot.isDefined)
+    // The COW rewrite touched only png files; every manifest (kept jpg,
+    // kept png remainder, rewritten png) still carries its value.
+    val snap = t.currentSnapshot
+    val valued = snap.manifests.flatMap(snap.partitionOfManifest)
+    assert(valued.size == snap.manifests.size,
+      s"merge must not orphan partition values: $valued of ${snap.manifests.size}")
+    assert(t.planFiles(Seq(EqString("fmt", "jpg"))).size <
+      t.currentFiles.size)
+  }
+
   test("rewrite-manifests keeps one manifest chain per partition; pruning survives") {
     val root = TestFixtures.workRoot.resolve("part-rewrite").toString
     val t = GraftTable.create(root, spark,

@@ -120,8 +120,12 @@ object Cluster {
         out
       case "groups" =>
         // Pack input files into ~4x-target groups; each group is an
-        // independently sorted, independently resumable unit.
-        val groups = packGroups(files, targetBytes * 4)
+        // independently sorted, independently resumable unit. Partitioned
+        // tables pack within partition values (same invariant as Compact:
+        // rewrites must not mix partitions or the outputs lose their value).
+        val spec = t.meta.partitionSpec
+        val groups = packGroups(files, targetBytes * 4,
+          groupOf = f => spec.flatMap(graft.table.PartitionSpec.partitionOf(_, f)))
         val already = Lineage.committedUnits(t.root, jid)
         import java.util.concurrent.Executors
         import scala.concurrent.{Await, ExecutionContext, Future}
@@ -244,15 +248,19 @@ object Cluster {
     reps
   }
 
-  /** Greedy size-ordered grouping (first-fit) of files into rewrite groups. */
-  def packGroups(files: Seq[DataFileMeta], capacity: Long): Seq[Seq[DataFileMeta]] = {
-    val sorted = files.sortBy(f => (-f.fileSizeBytes, f.path))
-    val out = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[DataFileMeta], Long)]()
-    for (f <- sorted) {
-      val i = out.indexWhere { case (_, used) => used + f.fileSizeBytes <= capacity }
-      if (i >= 0) { val (b, u) = out(i); b += f; out(i) = (b, u + f.fileSizeBytes) }
-      else out += ((scala.collection.mutable.ArrayBuffer(f), f.fileSizeBytes))
-    }
-    out.map(_._1.toSeq).toSeq
-  }
+  /** Greedy size-ordered grouping (first-fit) of files into rewrite groups;
+    * `groupOf` keeps groups within one partition value (see Compact.plan). */
+  def packGroups(files: Seq[DataFileMeta], capacity: Long,
+      groupOf: DataFileMeta => Option[String] = _ => None): Seq[Seq[DataFileMeta]] =
+    files.groupBy(groupOf).toSeq.sortBy(_._1.getOrElse(""))
+      .flatMap { case (_, group) =>
+        val sorted = group.sortBy(f => (-f.fileSizeBytes, f.path))
+        val out = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[DataFileMeta], Long)]()
+        for (f <- sorted) {
+          val i = out.indexWhere { case (_, used) => used + f.fileSizeBytes <= capacity }
+          if (i >= 0) { val (b, u) = out(i); b += f; out(i) = (b, u + f.fileSizeBytes) }
+          else out += ((scala.collection.mutable.ArrayBuffer(f), f.fileSizeBytes))
+        }
+        out.map(_._1.toSeq).toSeq
+      }
 }

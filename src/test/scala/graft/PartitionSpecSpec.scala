@@ -131,6 +131,26 @@ class PartitionSpecSpec extends GraftSuite {
       t.scan().filter(col("fmt") === "png").count())
   }
 
+  test("groups-mode clustering packs within partitions; values survive the sort rewrite") {
+    val root = TestFixtures.workRoot.resolve("part-cluster").toString
+    val t = GraftTable.create(root, spark,
+      partitionSpec = Some(PartitionSpec("fmt", "identity")))
+    val all = ImageGen.df(spark, 200, seed = 9L, partitions = 4).cache()
+    GraftTable.append(t, all.filter(col("fmt") === "png"), targetFiles = Some(6))
+    GraftTable.append(t, all.filter(col("fmt") === "jpg"), targetFiles = Some(4))
+    all.unpersist()
+    val rows = t.scan().count()
+    val res = graft.jobs.Cluster.run(t, curve = "zorder", mode = "groups",
+      targetBytes = 256L * 1024)
+    assert(res.snapshot.isDefined)
+    assert(t.scan().count() == rows)
+    val snap = t.currentSnapshot
+    val valued = snap.manifests.flatMap(snap.partitionOfManifest)
+    assert(valued.size == snap.manifests.size,
+      s"sort rewrite must keep partition purity: $valued of ${snap.manifests.size}")
+    assert(valued.toSet == Set("png", "jpg"))
+  }
+
   test("compaction bins never cross partitions; outputs keep their partition value") {
     val root = TestFixtures.workRoot.resolve("part-compact").toString
     val t = GraftTable.create(root, spark,

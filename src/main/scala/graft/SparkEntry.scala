@@ -56,10 +56,12 @@ object SparkEntry {
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("cnt"))),
 
-    // F1 dynamic predicate filter (sqlite-graph-storage.ts:138-168).
+    // F1 dynamic predicate filter (sqlite-graph-storage.ts:138-168). The
+    // fixture's p_name carries no digits, so the constants select on a name
+    // substring that exists ("ring") — non-empty at every SF.
     "q02_filter_part" -> ((s, d) => ld(s, d, "part")
       .filter(col("p_type") === "PROMO" && col("p_size") >= 30 &&
-        col("p_name").contains("1"))
+        col("p_name").contains("ring"))
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))),
 
     // J1 broadcast hydration join (querying/pipeline.ts:93-100).
@@ -85,8 +87,11 @@ object SparkEntry {
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers_with_orders"))),
 
     // U3/F7 anti-join (stale-set difference, indexing/pipeline.ts:246-251).
+    // The fixture gives (nearly) every customer an order, so the "stale" set
+    // is customers with no order above 300000 — non-empty at every SF.
     "q06_anti_join" -> ((s, d) => ld(s, d, "customer")
-      .join(ld(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(ld(s, d, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers_no_orders"))),
 
     // W1/W4 top-k (sqlite-vector-storage.ts:57-69; querying/pipeline.ts:139).
@@ -455,8 +460,10 @@ object SparkEntry {
           (sqrt(aggregate(col("embedding"), lit(0.0d), (acc, v) => acc + v * v)) *
            sqrt(aggregate(col("qv"), lit(0.0d), (acc, v) => acc + v * v))), 4))
         .orderBy(col("cos").desc, col("vec_id").asc).limit(kLocal)
+        // lit(1) partition: <= k rows post-limit, and it silences the
+        // all-data-to-one-partition WARN that buries real warnings.
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("cos").desc, col("vec_id").asc)))
+          Window.partitionBy(lit(1)).orderBy(col("cos").desc, col("vec_id").asc)))
         .select(col("vec_id").as("id"), col("rk"))
       val global = ld(s, d, "documents")
         .withColumn("hits", Seq("spark", "join", "merge").map(t =>
@@ -466,7 +473,7 @@ object SparkEntry {
             (lit(1.0) + lit(0.1) * col("hits")), 4))
         .orderBy(col("score").desc, col("doc_id").asc).limit(kGlobal)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id").asc)))
+          Window.partitionBy(lit(1)).orderBy(col("score").desc, col("doc_id").asc)))
         .select(col("doc_id").as("id"), col("rk"))
       graft.operators.TextOps.hybridMerge(local, global)
     }))
@@ -491,7 +498,7 @@ object SparkEntry {
           |FROM lineitem GROUP BY 1, 2""".stripMargin,
       "q02_filter_part" ->
         """SELECT p_partkey, p_name, p_brand, p_size FROM part
-          |WHERE p_type = 'PROMO' AND p_size >= 30 AND p_name LIKE '%1%'""".stripMargin,
+          |WHERE p_type = 'PROMO' AND p_size >= 30 AND p_name LIKE '%ring%'""".stripMargin,
       "q03_join_broadcast" ->
         """SELECT c_mktsegment, count(*) AS n_orders,
           |  round(sum(o_totalprice), 2) AS revenue
@@ -509,7 +516,8 @@ object SparkEntry {
           |GROUP BY 1""".stripMargin,
       "q06_anti_join" ->
         """SELECT c_nationkey, count(*) AS n_customers_no_orders FROM customer
-          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
           |GROUP BY 1""".stripMargin,
       "q07_topk" ->
         """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders

@@ -89,6 +89,10 @@ object ExpireSnapshots {
     * dead files the driver-serial alternative is hours of wall clock. */
   private[graft] def deleteListed(spark: SparkSession, root: String,
       files: DataFrame): (Long, Long) = {
+    // Absolutized ON THE DRIVER before the closure captures it: executor JVMs
+    // under local-cluster have different working directories, so a relative
+    // root would make executor-side deleteIfExists silently no-op.
+    val rootAbs = Paths.get(root).toAbsolutePath.toString
     val work = files.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = work.count()
@@ -98,7 +102,7 @@ object ExpireSnapshots {
         val it = work.toLocalIterator()
         while (it.hasNext) {
           val r = it.next()
-          if (Files.deleteIfExists(Paths.get(root, r.getString(0)))) {
+          if (Files.deleteIfExists(Paths.get(rootAbs, r.getString(0)))) {
             cnt += 1; bytes += r.getLong(1)
           }
         }
@@ -108,7 +112,7 @@ object ExpireSnapshots {
         val bytes = spark.sparkContext.longAccumulator("expire.deletedBytes")
         work.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
           it.foreach { r =>
-            if (Files.deleteIfExists(Paths.get(root, r.getString(0)))) {
+            if (Files.deleteIfExists(Paths.get(rootAbs, r.getString(0)))) {
               cnt.add(1); bytes.add(r.getLong(1))
             }
           }

@@ -60,14 +60,19 @@ object Ingest {
       include: Seq[String] = Nil, exclude: Seq[String] = Nil): DataFrame = {
     val reader = t.spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
-    // One include glob pushes into the distributed listing itself (files that
-    // don't match are never statted/opened); more than one falls back to a
-    // row-level filter on the listed paths — still pre-decode, pre-read of
-    // file CONTENT bytes beyond the listing.
-    val pushed = include match {
-      case Seq(one) if !one.contains("/") => reader.option("pathGlobFilter", one)
-      case _ => reader
-    }
+    // Include globs push into the distributed listing itself (files that
+    // don't match are never statted/opened): one bare-filename glob pushes
+    // as-is; several push as a Hadoop `{a,b,...}` alternation (GlobFilter
+    // supports it natively). On an object store with 10^7 files, listing
+    // everything and filtering later IS the cost. Globs with path
+    // separators or their own brace/comma syntax fall back to the row-level
+    // rlike below — still pre-decode, pre-read of file CONTENT bytes.
+    val pushable = include.nonEmpty &&
+      include.forall(g => !g.contains("/") && !g.exists("{},".contains(_)))
+    val pushed =
+      if (!pushable) reader
+      else if (include.size == 1) reader.option("pathGlobFilter", include.head)
+      else reader.option("pathGlobFilter", include.mkString("{", ",", "}"))
     val raw = pushed.load(dir)
     val dirAbs = java.nio.file.Paths.get(dir).toAbsolutePath.toString
       .stripSuffix("/")

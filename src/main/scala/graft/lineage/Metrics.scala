@@ -27,7 +27,6 @@ import graft.table.TableJson
  */
 object Metrics {
 
-  private val installed = ConcurrentHashMap.newKeySet[String]()
   private val lock = new Object
 
   case class QueryEvent(
@@ -67,8 +66,23 @@ object Metrics {
   // every action into EVERY table's metrics file (duplicated + misattributed
   // with multiple tables on one session) and its per-action work grew with
   // the number of tables ever opened.
+  //
+  // WEAK keys: a long-lived driver cycling sessions (the bench-trial
+  // pattern) must not retain every stopped session's root set forever. The
+  // only strong path back to a dead session is its own listener bus, so once
+  // user code drops the session the whole cycle is unreachable and the weak
+  // entry is collected. Compound check-then-act ops synchronize on the map
+  // (the Collections.synchronizedMap contract).
   private val sessionRoots =
-    new ConcurrentHashMap[SparkSession, java.util.Set[String]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+  private val installed =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Live (not-yet-collected) sessions with installed listeners — leak-test
+    * observability only. */
+  private[graft] def trackedSessions: Int = sessionRoots.size
 
   /** Absolute-path table roots whose data/metadata participate in `qe`:
     * read paths from the analyzed plan's file-source relations (pre-AQE, so
@@ -98,9 +112,14 @@ object Metrics {
       case _ => ()
     }
     import scala.jdk.CollectionConverters._
+    // Match on a path-COMPONENT boundary after URI normalization: a plain
+    // substring test attributed '/w/tbl2' events to a sibling root '/w/tbl'.
     roots.asScala.toSeq.filter { r =>
       val abs = Paths.get(r).toAbsolutePath.toString
-      paths.exists(p => p.contains(abs))
+      paths.exists { p0 =>
+        val p = p0.replaceFirst("^file:/+", "/")
+        p == abs || p.startsWith(abs + "/")
+      }
     }
   }
 
@@ -109,11 +128,16 @@ object Metrics {
     * rows, and scan/write byte counters — attributed ONLY to the installed
     * roots whose files the plan touched. */
   def install(spark: SparkSession, root: String): Unit = {
-    val roots = sessionRoots.computeIfAbsent(spark,
-      _ => ConcurrentHashMap.newKeySet[String]())
+    val roots = sessionRoots.synchronized {
+      var s = sessionRoots.get(spark)
+      if (s == null) {
+        s = ConcurrentHashMap.newKeySet[String]()
+        sessionRoots.put(spark, s)
+      }
+      s
+    }
     roots.add(root)
-    val key = s"${System.identityHashCode(spark)}"
-    if (!installed.add(key)) return
+    if (installed.put(spark, java.lang.Boolean.TRUE) != null) return
     spark.listenerManager.register(new QueryExecutionListener {
       private def metricSum(qe: QueryExecution, names: Set[String]): Option[Long] = {
         var sum = 0L; var seen = false

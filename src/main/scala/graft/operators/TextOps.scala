@@ -74,7 +74,9 @@ object TextOps {
     val g = global.select(col("id"), col("rk"), lit(1).as("prio"), lit("global").as("src"))
     val u = l.unionByName(g)
     val firstSeen = Window.partitionBy(col("id")).orderBy(col("prio"), col("rk"))
-    val finalOrder = Window.orderBy(col("prio"), col("rk"), col("id"))
+    // lit(1) partition: the frame holds <= k rows (both inputs are already
+    // weight-split cut), and it silences the single-partition WindowExec WARN.
+    val finalOrder = Window.partitionBy(lit(1)).orderBy(col("prio"), col("rk"), col("id"))
     u.withColumn("rn", row_number().over(firstSeen)).filter(col("rn") === 1)
       .withColumn("final_rank", row_number().over(finalOrder).cast("long"))
       .select(col("final_rank"), col("id"), col("src"))

@@ -25,25 +25,29 @@ object StreamingIngest {
   private val BatchIdKey = "stream-batch-id"
   private val CheckpointKey = "stream-checkpoint"
 
+  private[graft] def watermarkKey(checkpointDir: String): String =
+    s"stream.batch-watermark.$checkpointDir"
+
   /** foreachBatch is AT-LEAST-once: a crash between the table's snapshot
     * commit and the streaming checkpoint's offset commit re-delivers the
-    * batch on restart. The table-side guard (Iceberg's streaming-sink
-    * pattern): every streaming append stamps (checkpoint, batchId) into the
-    * snapshot summary, and a re-delivered batch whose id is already
-    * committed for this checkpoint is skipped. Metadata-only check — scans
-    * the (driver-resident) snapshot list, no data IO. */
+    * batch on restart. The table-side guard (Iceberg's WAP-style watermark):
+    * the highest committed batchId per checkpoint lives in TABLE PROPERTIES,
+    * written in the SAME CAS as the append snapshot — so the check is an
+    * O(1) property lookup (not a scan of the ever-growing snapshot list),
+    * and ExpireSnapshots can never delete the marker (properties survive
+    * snapshot expiry). batchIds are monotonic per checkpoint (foreachBatch
+    * is serial), so <= watermark means already committed. */
   private def alreadyCommitted(t: GraftTable, checkpointDir: String,
       batchId: Long): Boolean =
-    t.meta.snapshots.exists(s =>
-      s.summary.get(BatchIdKey).contains(batchId.toString) &&
-        s.summary.get(CheckpointKey).contains(checkpointDir))
+    t.meta.properties.get(watermarkKey(checkpointDir)).exists(_.toLong >= batchId)
 
   private[graft] def idempotentAppend(t: GraftTable, batch: DataFrame,
       checkpointDir: String, batchId: Long): Boolean = {
     if (alreadyCommitted(t, checkpointDir, batchId)) false
     else {
-      GraftTable.append(t, batch, summary = Map(
-        BatchIdKey -> batchId.toString, CheckpointKey -> checkpointDir))
+      GraftTable.append(t, batch,
+        summary = Map(BatchIdKey -> batchId.toString, CheckpointKey -> checkpointDir),
+        propertiesUpdate = Map(watermarkKey(checkpointDir) -> batchId.toString))
       true
     }
   }

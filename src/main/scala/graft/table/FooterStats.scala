@@ -94,7 +94,14 @@ object FooterStats {
       case (x: Binary, y: Binary) =>
         // Compare in the RENDERED (UTF-16 String) order: PruneFilter's
         // mayMatch compares manifest strings with Scala String ordering, so
-        // min/max must be picked under the same ordering to stay sound.
+        // the CROSS-BLOCK pick must use the same ordering. Soundness caveat:
+        // the per-block extrema Parquet recorded were chosen in unsigned-
+        // UTF-8-byte order, which agrees with UTF-16 order only for BMP
+        // strings — a block whose true UTF-16 minimum is a supplementary-
+        // plane string may not surface it in its stats, so EqString pruning
+        // assumes BMP-only string columns (true of the engine's image_id /
+        // fmt / caption fixtures; non-BMP data would need byte-order
+        // comparison end-to-end through PruneFilter).
         if ((x.toStringUsingUTF8.compareTo(y.toStringUsingUTF8) <= 0) == min) x else y
       case (x, _) => x
     }

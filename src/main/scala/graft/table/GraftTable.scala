@@ -277,7 +277,8 @@ class GraftTable(val root: String, val spark: SparkSession) {
     * (pipeline/src/indexing/pipeline.ts:93-94): data files and manifests are
     * durable before the metadata pointer moves. */
   def commit(operation: String, added: Seq[DataFileMeta], removedPaths: Set[String],
-      summary: Map[String, String] = Map.empty): Snapshot = {
+      summary: Map[String, String] = Map.empty,
+      propertiesUpdate: Map[String, String] = Map.empty): Snapshot = {
     val t0 = System.nanoTime()
     var attempts = 0
     var result: Snapshot = null
@@ -338,8 +339,12 @@ class GraftTable(val root: String, val spark: SparkSession) {
           "added-rows" -> added.map(_.rowCount).sum.toString),
         partitionValues = if (pvals.isEmpty) None else Some(pvals.toMap))
       result = snap
+      // propertiesUpdate rides the SAME CAS as the snapshot: a caller's
+      // watermark (e.g. the streaming batch-id guard) and its data commit
+      // are atomic — no window where one is visible without the other.
       Some(m.copy(currentSnapshotId = Some(snap.snapshotId),
-        snapshots = m.snapshots :+ snap))
+        snapshots = m.snapshots :+ snap,
+        properties = m.properties ++ propertiesUpdate))
     }
     graft.lineage.Metrics.recordJob(root, "commit",
       (System.nanoTime() - t0) / 1000000, Map(
@@ -393,8 +398,9 @@ object GraftTable {
 
   /** Append rows as a new snapshot. */
   def append(t: GraftTable, df: DataFrame, targetFiles: Option[Int] = None,
-      summary: Map[String, String] = Map.empty): Snapshot = {
+      summary: Map[String, String] = Map.empty,
+      propertiesUpdate: Map[String, String] = Map.empty): Snapshot = {
     val files = t.writeDataFiles(df, targetFiles)
-    t.commit("append", files, Set.empty, summary)
+    t.commit("append", files, Set.empty, summary, propertiesUpdate)
   }
 }

@@ -83,41 +83,64 @@ object Cluster {
 
     val added: Seq[DataFileMeta] = mode match {
       case "global" =>
-        val numFiles = math.max(1, math.ceil(bytesIn.toDouble / targetBytes).toInt)
-        val t0 = System.nanoTime()
-        // Boundary pass on a PROJECTION of the curve key only: Parquet column
-        // pruning never reads the image payload, so the table's bytes are
-        // read once, in the rewrite pass — repartitionByRange's sampling
-        // would execute the payload-bearing child a second time. The pass
-        // reads a deterministic stratified FILE sample (every k-th by path,
-        // ~32 files): boundaries only steer partition balance, never
-        // correctness, and a full-table key scan is a non-scaling fixed cost
-        // (~1.5 s at any core count on the 1024-file fixture) that grows
-        // with file count at 10^12 rows.
-        val sampleFiles = strideSample(files.sortBy(_.path), BoundsSampleFiles)
-        val bounds = curveBoundaries(
-          t.spark.read.schema(t.schema)
-            .parquet(sampleFiles.map(_.absPath(t.root)): _*)
-            .select(curveCol(curve).as("__ck")),
-          numFiles, sampleFiles.map(_.rowCount).sum)
-        graft.lineage.Metrics.recordJob(t.root, "cluster-bounds",
-          (System.nanoTime() - t0) / 1000000,
-          Map("parts" -> numFiles.toString, "bounds" -> bounds.length.toString))
-        // NOTE (measured, do not "fix"): leaving the scan at the default
-        // 128 MB packing beats shrinking partitions to 4x-cores granularity.
-        // More map tasks looks like better utilization, but the bypass-merge
-        // shuffle writer's cost scales with mapTasks x reducers (each map
-        // task materializes one segment per reducer), and the extra file
-        // churn measured ~40% slower at 8 cores on the 1.48 GB fixture.
-        val df = t.scan(Some(base.snapshotId)).withColumn("__ck", curveCol(curve))
-        val out = t.writeDataFiles(
-          rangeExchange(df, col("__ck"), bounds)
-            .sortWithinPartitions(col("__ck"))
-            .drop("__ck"))
-        Lineage.commitUnit(t.root, UnitLineage(jid, 0, files.map(_.path), out,
-          out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum,
-          (System.nanoTime() - t0) / 1000000))
-        out
+        // PARTITION-PRESERVING: on a partitioned table, the full re-sort
+        // range-exchanges WITHIN each partition value (files grouped by
+        // partitionOf), so every output file stays partition-pure and the
+        // commit re-derives valued manifests — a single whole-table exchange
+        // would mix partition values into each output file, silently
+        // demoting the declared spec's manifest pruning to zero. Each
+        // partition group is an independently resumable lineage unit.
+        val spec = t.meta.partitionSpec
+        val pgroups: Seq[Seq[DataFileMeta]] = spec match {
+          case None => Seq(files)
+          case Some(sp) => files
+            .groupBy(f => graft.table.PartitionSpec.partitionOf(sp, f))
+            .toSeq.sortBy(_._1.getOrElse("")).map(_._2)
+        }
+        val already = Lineage.committedUnits(t.root, jid)
+        pgroups.indices.filterNot(already.contains).foreach { gi =>
+          val g = pgroups(gi)
+          val gBytes = g.map(_.fileSizeBytes).sum
+          val numFiles = math.max(1, math.ceil(gBytes.toDouble / targetBytes).toInt)
+          val t0 = System.nanoTime()
+          // Boundary pass on a PROJECTION of the curve key only: Parquet
+          // column pruning never reads the image payload, so the table's
+          // bytes are read once, in the rewrite pass — repartitionByRange's
+          // sampling would execute the payload-bearing child a second time.
+          // The pass reads a deterministic stratified FILE sample (every
+          // k-th by path, ~32 files): boundaries only steer partition
+          // balance, never correctness, and a full-table key scan is a
+          // non-scaling fixed cost (~1.5 s at any core count on the
+          // 1024-file fixture) that grows with file count at 10^12 rows.
+          val sampleFiles = strideSample(g.sortBy(_.path), BoundsSampleFiles)
+          val bounds = curveBoundaries(
+            t.spark.read.schema(t.schema)
+              .parquet(sampleFiles.map(_.absPath(t.root)): _*)
+              .select(curveCol(curve).as("__ck")),
+            numFiles, sampleFiles.map(_.rowCount).sum)
+          graft.lineage.Metrics.recordJob(t.root, "cluster-bounds",
+            (System.nanoTime() - t0) / 1000000,
+            Map("parts" -> numFiles.toString, "bounds" -> bounds.length.toString))
+          // NOTE (measured, do not "fix"): leaving the scan at the default
+          // 128 MB packing beats shrinking partitions to 4x-cores
+          // granularity. More map tasks looks like better utilization, but
+          // the bypass-merge shuffle writer's cost scales with mapTasks x
+          // reducers (each map task materializes one segment per reducer),
+          // and the extra file churn measured ~40% slower at 8 cores on the
+          // 1.48 GB fixture.
+          val df = t.spark.read.schema(t.schema)
+            .parquet(g.map(_.absPath(t.root)): _*)
+            .withColumn("__ck", curveCol(curve))
+          val out = t.writeDataFiles(
+            rangeExchange(df, col("__ck"), bounds)
+              .sortWithinPartitions(col("__ck"))
+              .drop("__ck"))
+          Lineage.commitUnit(t.root, UnitLineage(jid, gi, g.map(_.path), out,
+            out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum,
+            (System.nanoTime() - t0) / 1000000))
+        }
+        Lineage.committedUnits(t.root, jid).values.flatMap(_.filesOut)
+          .toSeq.sortBy(_.path)
       case "groups" =>
         // Pack input files into ~4x-target groups; each group is an
         // independently sorted, independently resumable unit. Partitioned
@@ -171,6 +194,35 @@ object Cluster {
         "bytes-in" -> bytesIn.toString))
     Result(Some(snap), jid, mode, curve, files.size, added.size, bytesIn,
       added.map(_.rowCount).sum)
+  }
+
+  /** The curve of the table's most recent cluster commit at or before
+    * `base` — how COW jobs discover the layout they must preserve. None
+    * until the table has ever been clustered. */
+  def activeCurve(t: GraftTable, base: Snapshot): Option[String] =
+    t.meta.snapshots
+      .filter(s => s.operation == "cluster" && s.snapshotId <= base.snapshotId)
+      .sortBy(_.snapshotId).lastOption.flatMap(_.summary.get("curve"))
+
+  /** Shape a COW rewrite's output to preserve a clustered layout: range-
+    * exchange the rewritten rows on the curve key (bounds from a projection-
+    * only pass over the affected files — Parquet column pruning keeps image
+    * payloads on disk) and sort within partitions. Without this, the
+    * repartition(n) that sizes COW output files round-robins rows, so every
+    * merge/delete/transcode/dedup widens the touched files' curve ranges and
+    * the clustering that q-pruning depends on decays monotonically until the
+    * next full re-cluster. Callers pass the result to writeDataFiles with NO
+    * targetFiles (a further repartition would undo the exchange). */
+  def shapeForCurve(t: GraftTable, affected: Seq[DataFileMeta], df: DataFrame,
+      curve: String, targetBytes: Long): DataFrame = {
+    val n = math.max(1, math.ceil(
+      affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
+    val bounds = curveBoundaries(
+      t.spark.read.schema(t.schema).parquet(affected.map(_.absPath(t.root)): _*)
+        .select(curveCol(curve).as("__ck")),
+      n, affected.map(_.rowCount).sum)
+    rangeExchange(df.withColumn("__ck", curveCol(curve)), col("__ck"), bounds)
+      .sortWithinPartitions(col("__ck")).drop("__ck")
   }
 
   /** Max files the global-mode boundary pass reads. Stratified (stride over

@@ -158,8 +158,12 @@ object DedupPhash {
       .join(victimsB, Seq("image_id"), "left_anti")
     val rewritten: Seq[DataFileMeta] =
       if (kept.isEmpty) Nil
-      else t.writeDataFiles(kept, targetFiles = Some(math.max(1, math.ceil(
-        affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
+      else Cluster.activeCurve(t, base) match {
+        case Some(cv) => t.writeDataFiles(
+          Cluster.shapeForCurve(t, affected, kept, cv, targetBytes))
+        case None => t.writeDataFiles(kept, targetFiles = Some(math.max(1,
+          math.ceil(affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
+      }
 
     val dupGroups = exactCanon.count()
     victimsB.unpersist()

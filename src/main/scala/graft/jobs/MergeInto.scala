@@ -46,6 +46,23 @@ object MergeInto {
     java.nio.file.Paths.get(root).toAbsolutePath.relativize(p.toAbsolutePath).toString
   }
 
+  /** Files whose image_id stats admit any key in [klo, khi] — the manifest-
+    * stats prune that keeps a narrow-key MERGE from scanning every file's
+    * key column. Null bounds (empty source) or stat-less files keep. */
+  private[graft] def candidateFiles(files: Seq[DataFileMeta], klo: String,
+      khi: String): Seq[DataFileMeta] =
+    if (klo == null || khi == null) files
+    else files.filter(f => graft.table.PruneFilter.mayMatch(f,
+      graft.table.RangeString("image_id", klo, khi)))
+
+  /** Projection-friendly scan over an explicit candidate-file list (empty
+    * list -> empty frame with the table schema). */
+  private def readKeyed(t: GraftTable, cand: Seq[DataFileMeta]): DataFrame =
+    if (cand.isEmpty)
+      t.spark.createDataFrame(
+        t.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+    else t.spark.read.schema(t.schema).parquet(cand.map(_.absPath(t.root)): _*)
+
   /** `source` columns: image_id (required), caption/bytes nullable; absent
     * columns are treated as all-null (keep target values). */
   def run(t: GraftTable, source0: DataFrame,
@@ -71,19 +88,28 @@ object MergeInto {
     // Source size estimate for the join strategy — MEASURED payload, not a
     // per-row guess: a 200k-row source carrying 1 MB images would pass a
     // rows*256 estimate and then broadcast 200 GB. One aggregate action
-    // returns rows + actual bytes/caption volume together.
+    // returns rows + actual bytes/caption volume + the source's key range
+    // (for stats pruning below) together.
     val srcStats = src.agg(
       count(lit(1)).as("n"),
       coalesce(sum(length(col("src_bytes"))), lit(0L)).as("payload"),
-      coalesce(sum(length(col("src_caption"))), lit(0L)).as("cap")).head()
+      coalesce(sum(length(col("src_caption"))), lit(0L)).as("cap"),
+      min(col("image_id")).as("klo"), max(col("image_id")).as("khi")).head()
     val srcCount = srcStats.getLong(0)
     val estBytes = srcCount * 64L + srcStats.getLong(1) + srcStats.getLong(2)
     val useBroadcast = estBytes <= broadcastThresholdBytes
     val strategy = if (useBroadcast) "broadcast" else "sort-merge+aqe-skew"
     val srcKeyed = if (useBroadcast) broadcast(src) else src
 
+    // Candidate files by manifest stats: only files whose image_id min/max
+    // admits the source's key range can contain a match OR an absent key in
+    // that range, so BOTH the affected-file discovery and the insert
+    // anti-join below read candidates only. A 10-row targeted merge on a
+    // key-ordered table opens ~its files, not every file's key column.
+    val candidates = candidateFiles(files, srcStats.getString(3), srcStats.getString(4))
+
     // 1. Affected files: projection-only scan — Parquet reads just image_id.
-    val scanWithFile = t.scan(Some(base.snapshotId))
+    val scanWithFile = readKeyed(t, candidates)
       .select(col("image_id"), input_file_name().as("__file"))
     val affectedUris = scanWithFile
       .join(srcKeyed.select("image_id"), Seq("image_id"), "left_semi")
@@ -111,14 +137,22 @@ object MergeInto {
           // Schema-evolved extra columns pass through from the target —
           // a COW rewrite must never drop columns it does not transform.
           ++ t.schema.fieldNames.toSeq.filterNot(GraftTable.BaseColumns).map(col): _*)
-        t.writeDataFiles(rewritten,
-          targetFiles = Some(math.max(1, math.ceil(
-            affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
+        // Clustered base: preserve curve order through the rewrite (else
+        // merge traffic silently erodes the layout q-pruning depends on).
+        Cluster.activeCurve(t, base) match {
+          case Some(cv) => t.writeDataFiles(
+            Cluster.shapeForCurve(t, affected, rewritten, cv, targetBytes))
+          case None => t.writeDataFiles(rewritten,
+            targetFiles = Some(math.max(1, math.ceil(
+              affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
+        }
       }
 
     // 3. Inserts: source keys not in the target at all (left-anti on the
-    // pruned key scan — anti-join U3).
-    val tgtKeys = t.scan(Some(base.snapshotId)).select("image_id")
+    // pruned key scan — anti-join U3). Candidate files suffice: a source key
+    // can only exist in a file whose stats range admits it, and every such
+    // file is a candidate by construction.
+    val tgtKeys = readKeyed(t, candidates).select("image_id")
     val inserts = src.join(tgtKeys, Seq("image_id"), "left_anti")
       .filter(col("src_bytes").isNotNull) // an insert needs a payload
       .withColumn("__wh", gf.decode_wh(col("src_bytes")))
@@ -177,7 +211,11 @@ object MergeInto {
     val files = t.snapshotFiles(base)
     val k = keys.select("image_id").distinct()
 
-    val scanWithFile = t.scan(Some(base.snapshotId))
+    // Manifest-stats prune on the key range first (one tiny agg): a
+    // targeted delete on a key-ordered table reads ~its files' key columns.
+    val kr = k.agg(min(col("image_id")).as("klo"), max(col("image_id")).as("khi")).head()
+    val candidates = candidateFiles(files, kr.getString(0), kr.getString(1))
+    val scanWithFile = readKeyed(t, candidates)
       .select(col("image_id"), input_file_name().as("__file"))
     val affectedUris = scanWithFile
       .join(k, Seq("image_id"), "left_semi")
@@ -188,9 +226,13 @@ object MergeInto {
 
     val tgt = spark.read.schema(t.schema).parquet(affected.map(_.absPath(t.root)): _*)
     val kept = tgt.join(k, Seq("image_id"), "left_anti")
-    val out = t.writeDataFiles(kept,
-      targetFiles = Some(math.max(1, math.ceil(
-        affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
+    val out = Cluster.activeCurve(t, base) match {
+      case Some(cv) => t.writeDataFiles(
+        Cluster.shapeForCurve(t, affected, kept, cv, targetBytes))
+      case None => t.writeDataFiles(kept,
+        targetFiles = Some(math.max(1, math.ceil(
+          affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
+    }
     val deleted = affected.map(_.rowCount).sum - out.map(_.rowCount).sum
     val snap = t.commit("delete", out, affected.map(_.path).toSet,
       Map("deleted-rows" -> deleted.toString))

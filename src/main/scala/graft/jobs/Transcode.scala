@@ -48,8 +48,15 @@ object Transcode {
         // Schema-evolved extra columns pass through untouched — a COW
         // rewrite must never drop columns it does not transform.
         ++ t.schema.fieldNames.toSeq.filterNot(GraftTable.BaseColumns).map(col): _*)
-    val files = t.writeDataFiles(out, targetFiles = Some(math.max(1, math.ceil(
-      affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
+    // Clustered base: preserve curve order through the rewrite. Note the
+    // transcode RECOMPUTES phash, so the shaping exchange keys on the new
+    // values; bounds from the old keys only steer balance, never correctness.
+    val files = Cluster.activeCurve(t, base) match {
+      case Some(cv) => t.writeDataFiles(
+        Cluster.shapeForCurve(t, affected, out, cv, targetBytes))
+      case None => t.writeDataFiles(out, targetFiles = Some(math.max(1,
+        math.ceil(affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
+    }
     val snap = t.commit("transcode", files, affected.map(_.path).toSet,
       Map("from" -> from, "to" -> to))
     graft.lineage.Metrics.recordJob(t.root, "transcode", 0, Map(

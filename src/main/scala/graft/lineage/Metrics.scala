@@ -138,6 +138,11 @@ object Metrics {
     }
     roots.add(root)
     if (installed.put(spark, java.lang.Boolean.TRUE) != null) return
+    // The listener stays registered on the context's listener bus (strong),
+    // so it must hold the session WEAKLY — a strong capture would keep every
+    // dropped session reachable via bus -> listener -> session and defeat
+    // the weak registry above.
+    val sessionRef = new java.lang.ref.WeakReference[SparkSession](spark)
     spark.listenerManager.register(new QueryExecutionListener {
       private def metricSum(qe: QueryExecution, names: Set[String]): Option[Long] = {
         var sum = 0L; var seen = false
@@ -150,7 +155,8 @@ object Metrics {
       }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         try {
-          val targets = touchedRoots(spark, qe)
+          val sp = sessionRef.get()
+          val targets = if (sp == null) Nil else touchedRoots(sp, qe)
           if (targets.nonEmpty) {
             val rows = {
               var last: Option[Long] = None
@@ -167,7 +173,7 @@ object Metrics {
           }
         } catch { case _: Throwable => () } // observability never fails the query
       override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit =
-        try touchedRoots(spark, qe).foreach(r =>
+        try Option(sessionRef.get()).toSeq.flatMap(touchedRoots(_, qe)).foreach(r =>
           append(r, QueryEvent(System.currentTimeMillis(), "query",
             s"$funcName!failed", 0, None, None, None,
             Map("error" -> String.valueOf(ex.getMessage).take(200)))))

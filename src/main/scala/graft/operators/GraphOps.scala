@@ -106,6 +106,78 @@ object GraphOps {
     }
   }
 
+  /** Entity merge with edge redirect (reference mergeEntities,
+    * createFlowRAG.ts:51-119): the nodes whose id is in `sources` collapse
+    * into one node `target` that keeps the LONGEST description (A6
+    * max-by-description, createFlowRAG.ts:73-75; ties break
+    * lexicographically — the distributed analog of the reference's
+    * first-in-list) and the union of chunk_ids (A5 set union, sorted for
+    * determinism); edges incident to any merged node are redirected to
+    * `target`, self-loops skipped, and the result deduped on the natural key
+    * (src, type?, dst) (createFlowRAG.ts:108-118). The node's `type` comes
+    * from the target node when it is among the merged set, else from the
+    * smallest merged id (the reference's `find(name==target) ??
+    * sourceEntities[0]`). Optional columns (`type`, `description`,
+    * `chunk_ids` on nodes; `type` + attrs on edges) participate only when
+    * present.
+    *
+    * Scale: one groupBy over the (tiny) merged-node set, and for edges a
+    * literal-isin projection + natural-key dedup — the dedup groupBy is the
+    * only data-scale shuffle, and it keys on (src, type, dst), which is
+    * exactly as distributed as the edge population. */
+  def mergeNodes(nodes: DataFrame, edges: DataFrame, sources: Seq[String],
+      target: String): (DataFrame, DataFrame) = {
+    val srcSet = sources.map(lit(_))
+    val inSources = (c: org.apache.spark.sql.Column) => c.isin(srcSet: _*)
+    val has = (df: DataFrame, c: String) => df.columns.contains(c)
+
+    // Merged node row: aggregates over the source-node set only (empty set
+    // -> no merged row -> the merge is a no-op, as in the reference).
+    val merged0 = nodes.filter(inSources(col("id")))
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      nodes.columns.toSeq.filterNot(_ == "id").map {
+        case "type" => coalesce(
+          max(when(col("id") === target, col("type"))),
+          min_by(col("type"), col("id"))).as("type")
+        case "description" => max_by(col("description"),
+          struct(length(col("description")), col("description"))).as("description")
+        case "chunk_ids" =>
+          array_sort(array_distinct(flatten(collect_list(col("chunk_ids")))))
+            .as("chunk_ids")
+        case other => min_by(col(other), col("id")).as(other)
+      }
+    val mergedNode = merged0.groupBy(lit(target).as("id"))
+      .agg(count(lit(1)).as("__cnt"), aggs: _*)
+      .select(nodes.columns.toIndexedSeq.map(col): _*)
+    val outNodes = nodes.filter(!inSources(col("id")) && col("id") =!= target)
+      .unionByName(mergedNode)
+
+    // Edge redirect + self-loop skip + natural-key dedup. Untouched edges
+    // win ties against redirected ones (prio 0 < 1), then the smallest
+    // attr tuple — deterministic where the reference's first-seen depended
+    // on iteration order.
+    val attrCols = edges.columns.filterNot(c => c == "src" || c == "dst").toSeq
+    val keyCols = Seq("src", "dst") ++ (if (has(edges, "type")) Seq("type") else Nil)
+    val redirected = edges
+      .withColumn("__prio",
+        when(inSources(col("src")) || inSources(col("dst")), 1).otherwise(0))
+      .withColumn("src", when(inSources(col("src")), target).otherwise(col("src")))
+      .withColumn("dst", when(inSources(col("dst")), target).otherwise(col("dst")))
+      .filter(col("src") =!= col("dst"))
+    val carried = attrCols.filterNot(keyCols.contains)
+    val outEdges =
+      if (carried.isEmpty)
+        redirected.select(keyCols.map(col): _*).distinct()
+          .select(edges.columns.toIndexedSeq.map(col): _*)
+      else redirected
+        .groupBy(keyCols.map(col): _*)
+        .agg(min_by(struct(carried.map(col): _*),
+          struct((col("__prio") +: carried.map(col)): _*)).as("__a"))
+        .select((keyCols.map(col) ++ carried.map(c => col(s"__a.$c"))): _*)
+        .select(edges.columns.toIndexedSeq.map(col): _*)
+    (outNodes, outEdges)
+  }
+
   /** G4-style cascade: edges incident to deleted nodes go too. */
   def cascadeDelete(nodes: DataFrame, edges: DataFrame, deleteIds: DataFrame)
       : (DataFrame, DataFrame) = {

@@ -20,17 +20,19 @@ sealed trait PruneFilter { def col: String }
 case class EqString(col: String, v: String) extends PruneFilter
 case class EqLong(col: String, v: Long) extends PruneFilter
 case class RangeLong(col: String, lo: Long, hi: Long) extends PruneFilter
+case class RangeString(col: String, lo: String, hi: String) extends PruneFilter
 case class GeLong(col: String, lo: Long) extends PruneFilter
 case class LeLong(col: String, hi: Long) extends PruneFilter
 
 object PruneFilter {
   /** Residual row-level Column for a prune filter (applied on the scan). */
   def toColumn(f: PruneFilter): Column = f match {
-    case EqString(c, v)     => col(c) === lit(v)
-    case EqLong(c, v)       => col(c) === lit(v)
-    case RangeLong(c, l, h) => col(c) >= lit(l) && col(c) <= lit(h)
-    case GeLong(c, l)       => col(c) >= lit(l)
-    case LeLong(c, h)       => col(c) <= lit(h)
+    case EqString(c, v)       => col(c) === lit(v)
+    case EqLong(c, v)         => col(c) === lit(v)
+    case RangeLong(c, l, h)   => col(c) >= lit(l) && col(c) <= lit(h)
+    case RangeString(c, l, h) => col(c) >= lit(l) && col(c) <= lit(h)
+    case GeLong(c, l)         => col(c) >= lit(l)
+    case LeLong(c, h)         => col(c) <= lit(h)
   }
 
   /** Can `file` possibly contain rows matching `f`? Missing stats => keep. */
@@ -42,11 +44,12 @@ object PruneFilter {
         (s.min, s.max) match {
           case (Some(mn), Some(mx)) =>
             f match {
-              case EqString(_, v)     => mn <= v && v <= mx
-              case EqLong(_, v)       => mn.toLong <= v && v <= mx.toLong
-              case RangeLong(_, l, h) => mn.toLong <= h && mx.toLong >= l
-              case GeLong(_, l)       => mx.toLong >= l
-              case LeLong(_, h)       => mn.toLong <= h
+              case EqString(_, v)       => mn <= v && v <= mx
+              case EqLong(_, v)         => mn.toLong <= v && v <= mx.toLong
+              case RangeLong(_, l, h)   => mn.toLong <= h && mx.toLong >= l
+              case RangeString(_, l, h) => mn <= h && mx >= l
+              case GeLong(_, l)         => mx.toLong >= l
+              case LeLong(_, h)         => mn.toLong <= h
             }
           case _ => s.nullCount < file.rowCount // all-null file only matches IS NULL
         }

@@ -128,6 +128,35 @@ class ClusterSpec extends GraftSuite {
 
   private val GraftTable = graft.table.GraftTable
 
+  test("COW merge preserves the clustered layout: phash-range scans still prune") {
+    import spark.implicits._
+    val t = TestFixtures.freshTable("cluster-cow-preserve")
+    Cluster.run(t, curve = "zorder", mode = "global", targetBytes = 96L * 1024)
+    val span = RangeLong("phash", Long.MinValue / 16, Long.MaxValue / 16)
+    assert(t.planFiles(Seq(span)).size < t.currentFiles.size)
+    // A caption-only merge touching rows SPREAD across the table (every
+    // 20th image_id): the affected set covers most files, so a rewrite that
+    // round-robined rows would widen every output file's phash range and
+    // kill pruning entirely.
+    val ids = t.scan().select("image_id").as[String].collect().sorted
+      .zipWithIndex.collect { case (id, i) if i % 20 == 0 => id }.toSeq
+    val before = snapshotReplay(t)
+    val res = graft.jobs.MergeInto.run(t,
+      ids.map(id => (id, s"cow-cap-$id")).toDF("image_id", "caption"),
+      targetBytes = 96L * 1024) // same file sizing as the cluster layout
+    assert(res.snapshot.isDefined)
+    val total = t.currentFiles.size
+    val pruned = t.planFiles(Seq(span)).size
+    assert(pruned < total,
+      s"clustered layout must survive the COW rewrite ($pruned/$total)")
+    // Replay parity everywhere except the merged captions.
+    assert(canon(t.scanWhere(Seq(span))) ==
+      canon(t.scan().filter(col("phash") >= span.lo && col("phash") <= span.hi)))
+    assert(t.scan().filter(col("caption").startsWith("cow-cap-")).count() ==
+      ids.size.toLong)
+    assert(before.keySet == snapshotReplay(t).keySet)
+  }
+
   test("curve expressions agree with the pure-Scala functions on table data") {
     val t = TestFixtures.baseTable
     val rows = t.scan().select(col("phash"), col("w"), col("h"),

@@ -144,6 +144,65 @@ class EvolutionIngestSpec extends GraftSuite {
     assert(one.getAs[String]("image_id") == expectId)
   }
 
+  test("multi-glob includes push into the listing: non-matching files never listed") {
+    val dir = TestFixtures.workRoot.resolve("ingest-pushdown")
+    Files.createDirectories(dir.resolve("a"))
+    def put(rel: String, i: Long): Unit = {
+      val (_, bytes, _, _, _, _, _) = ImageGen.row(i, seed = 19L)
+      Files.write(dir.resolve(rel), bytes); ()
+    }
+    put("a/one.png", 1)
+    put("a/two.img", 2)
+    Files.write(dir.resolve("a/skip.txt"), "not an image".getBytes)
+    val root = TestFixtures.workRoot.resolve("ingest-pushdown-tbl").toString
+    val t = GraftTable.create(root, spark)
+    // inputFiles reflects the FileIndex listing itself (the row-level rlike
+    // is invisible to it): with the {a,b} pathGlobFilter alternation pushed,
+    // skip.txt must be absent FROM THE LISTING, not merely filtered later.
+    val listed = Ingest.scan(t, dir.toString,
+      include = Seq("*.png", "*.img")).inputFiles
+    assert(listed.exists(_.endsWith("one.png")) && listed.exists(_.endsWith("two.img")))
+    assert(!listed.exists(_.endsWith("skip.txt")),
+      s"multi-glob include must push into the listing; listed: ${listed.mkString(",")}")
+    // End-to-end parity: scanned count matches the pushed listing.
+    assert(Ingest.run(t, dir.toString, include = Seq("*.png", "*.img")).rows == 2)
+  }
+
+  test("metrics attribution: sibling roots sharing a path prefix do not cross-record") {
+    val work = TestFixtures.workRoot.resolve("metrics-sib")
+    val r1 = work.resolve("tbl").toString // path-prefix of r2 — the trap
+    val r2 = work.resolve("tbl2").toString
+    GraftTable.create(r1, spark)
+    val t2 = GraftTable.create(r2, spark)
+    GraftTable.append(t2, ImageGen.df(spark, 10, seed = 31L, partitions = 1))
+    t2.scan().count()
+    // QueryExecutionListener delivery is async: wait for r2's event first.
+    var tries = 0
+    while (!Metrics.events(r2).exists(_.kind == "query") && tries < 100) {
+      Thread.sleep(50); tries += 1
+    }
+    val e1 = Metrics.events(r1).filter(_.kind == "query")
+    assert(Metrics.events(r2).exists(_.kind == "query"))
+    assert(e1.isEmpty,
+      s"prefix-sibling root misattributed ${e1.size} events: ${e1.map(_.name)}")
+  }
+
+  test("metrics session registry does not retain dropped sessions") {
+    val before = Metrics.trackedSessions
+    (1 to 8).foreach { i =>
+      val s = spark.newSession()
+      Metrics.install(s, TestFixtures.workRoot.resolve(s"leak-$i").toString)
+    }
+    assert(Metrics.trackedSessions >= before + 7) // allow one concurrent GC
+    var tries = 0
+    while (Metrics.trackedSessions > before + 2 && tries < 60) {
+      System.gc(); Thread.sleep(50); tries += 1
+    }
+    assert(Metrics.trackedSessions <= before + 2,
+      s"weak registry must release dropped sessions " +
+        s"(${Metrics.trackedSessions} tracked, started at $before)")
+  }
+
   test("glob to regex semantics: * stays within a directory, ** crosses") {
     assert("a/b/c.png".matches(Ingest.globToRegex("**.png")))
     assert("c.png".matches(Ingest.globToRegex("*.png")))

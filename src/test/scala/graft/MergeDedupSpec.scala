@@ -175,4 +175,37 @@ class MergeDedupSpec extends GraftSuite {
     val again = MergeInto.deleteMatched(t, victims.toDF("image_id"))
     assert(again.snapshot.isEmpty && again.deletedRows == 0)
   }
+
+  test("MERGE discovery stats-prunes candidate files for a narrow key range") {
+    import spark.implicits._
+    val root = TestFixtures.workRoot.resolve("merge-stats-prune").toString
+    val t = graft.table.GraftTable.create(root, spark)
+    // Key-ordered layout: 8 files with disjoint image_id ranges, so manifest
+    // stats can refute most files for a narrow source.
+    graft.table.GraftTable.append(t,
+      ImageGen.df(spark, 240, seed = 21L, partitions = 4)
+        .repartitionByRange(8, col("image_id")))
+    val total = t.currentFiles.size
+    assert(total >= 8, s"want >=8 files, got $total")
+    val ids = t.scan().select("image_id").as[String].collect().sorted.take(2)
+    // The prune itself: a 2-key source admits far fewer candidate files.
+    val cand = MergeInto.candidateFiles(t.currentFiles, ids.min, ids.max)
+    assert(cand.size < total,
+      s"narrow-key merge must stats-prune candidates (${cand.size}/$total)")
+    // And the pruned paths stay correct end-to-end.
+    val before = t.scan().count()
+    val res = MergeInto.run(t,
+      ids.toSeq.map(id => (id, "pruned-path caption")).toDF("image_id", "caption"))
+    assert(res.snapshot.isDefined && res.matchedRows == 2 && res.insertedRows == 0)
+    assert(t.scan().count() == before)
+    assert(t.scan().filter(col("caption") === "pruned-path caption").count() == 2)
+    val del = MergeInto.deleteMatched(t, Seq(ids.head).toDF("image_id"))
+    assert(del.deletedRows == 1)
+    assert(t.scan().count() == before - 1)
+    // An insert whose key is outside every file's range still lands.
+    val ins = MergeInto.run(t, Seq(("zzz-new-key",
+      graft.images.ImageGen.row(9001, seed = 21L)._2)).toDF("image_id", "bytes"))
+    assert(ins.insertedRows == 1)
+    assert(t.scan().filter(col("image_id") === "zzz-new-key").count() == 1)
+  }
 }

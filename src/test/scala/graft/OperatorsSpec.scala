@@ -100,6 +100,36 @@ class OperatorsSpec extends GraftSuite {
     assert(e2.as[(String, String)].collect().toSet == Set(("c", "a")))
   }
 
+  test("mergeNodes: longest description, chunk union, edge redirect with self-loop skip and dedup") {
+    // Mirrors the reference mergeEntities test semantics
+    // (createFlowRAG.ts:51-119): apple+apples merge into apple.
+    val nodes = Seq(
+      ("apple", "fruit", "short", Seq("c1", "c2")),
+      ("apples", "fruit", "a much longer description", Seq("c2", "c3")),
+      ("banana", "fruit", "other", Seq("c9")))
+      .toDF("id", "type", "description", "chunk_ids")
+    val edges = Seq(
+      ("apple", "banana", "pairs-with"),
+      ("apples", "banana", "pairs-with"), // duplicate after redirect
+      ("apple", "apples", "same-as"),     // becomes a self-loop: dropped
+      ("banana", "apples", "likes"))
+      .toDF("src", "dst", "type")
+    val (n2, e2) = GraphOps.mergeNodes(nodes, edges, Seq("apple", "apples"), "apple")
+    assert(n2.count() == 2)
+    val m = n2.filter(col("id") === "apple").collect()
+    assert(m.length == 1)
+    assert(m.head.getString(1) == "fruit")
+    assert(m.head.getString(2) == "a much longer description") // A6 longest-wins
+    assert(m.head.getSeq[String](3) == Seq("c1", "c2", "c3")) // A5 set union
+    val es = e2.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(es == Set(("apple", "banana", "pairs-with"), ("banana", "apple", "likes")))
+
+    // Unknown sources: a no-op, as in the reference (sourceEntities empty).
+    val (n3, e3) = GraphOps.mergeNodes(nodes, edges, Seq("zzz"), "zzz-target")
+    assert(n3.count() == 3 && e3.count() == 4)
+  }
+
   test("graph export sinks: csv/json roundtrip and DOT rendering") {
     val dir = TestFixtures.workRoot.resolve("graph-export").toString
     val nodes = Seq("n1", "n2").toDF("id")

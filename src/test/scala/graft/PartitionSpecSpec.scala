@@ -151,6 +151,50 @@ class PartitionSpecSpec extends GraftSuite {
     assert(valued.toSet == Set("png", "jpg"))
   }
 
+  test("global-mode clustering preserves partition values; pruning survives the full re-sort") {
+    val root = TestFixtures.workRoot.resolve("part-cluster-global").toString
+    val t = GraftTable.create(root, spark,
+      partitionSpec = Some(PartitionSpec("fmt", "identity")))
+    val all = ImageGen.df(spark, 200, seed = 11L, partitions = 4).cache()
+    GraftTable.append(t, all.filter(col("fmt") === "png"), targetFiles = Some(6))
+    GraftTable.append(t, all.filter(col("fmt") === "jpg"), targetFiles = Some(4))
+    all.unpersist()
+    val rows = t.scan().count()
+    val res = graft.jobs.Cluster.run(t, curve = "zorder", mode = "global",
+      targetBytes = 256L * 1024)
+    assert(res.snapshot.isDefined)
+    assert(t.scan().count() == rows)
+    // Before this fix, global mode range-exchanged the WHOLE table by curve
+    // key: output files mixed fmt values and landed in one unpartitioned
+    // manifest that every filtered scan had to open.
+    val snap = t.currentSnapshot
+    val valued = snap.manifests.flatMap(snap.partitionOfManifest)
+    assert(valued.size == snap.manifests.size,
+      s"global re-sort must keep partition purity: $valued of ${snap.manifests.size}")
+    assert(valued.toSet == Set("png", "jpg"))
+    val pngM = t.planManifests(Seq(EqString("fmt", "png")))
+    assert(pngM.size < snap.manifests.size,
+      s"partition-filtered scan must still prune manifests (${pngM.size}/${snap.manifests.size})")
+    assert(t.scanWhere(Seq(EqString("fmt", "png"))).count() ==
+      t.scan().filter(col("fmt") === "png").count())
+  }
+
+  test("RangeString prunes files by string-key stats and manifests under identity only") {
+    import graft.table.RangeString
+    val f = file(Map("image_id" -> ColStats(Some("img-0010"), Some("img-0020"), 0)))
+    assert(graft.table.PruneFilter.mayMatch(f, RangeString("image_id", "img-0015", "img-0030")))
+    assert(!graft.table.PruneFilter.mayMatch(f, RangeString("image_id", "img-0021", "img-0030")))
+    assert(!graft.table.PruneFilter.mayMatch(f, RangeString("image_id", "img-0000", "img-0009")))
+    assert(graft.table.PruneFilter.mayMatch(file(Map.empty),
+      RangeString("image_id", "a", "b")), "stat-less files must keep")
+    val id = PartitionSpec("fmt", "identity")
+    assert(PartitionSpec.mayMatch(id, "png", RangeString("fmt", "jpg", "zzz")))
+    assert(!PartitionSpec.mayMatch(id, "gif", RangeString("fmt", "jpg", "zzz")))
+    // truncate values stand for numeric intervals: string bounds never prune.
+    val tr = PartitionSpec("phash", "truncate[100]")
+    assert(PartitionSpec.mayMatch(tr, "100", RangeString("phash", "5", "6")))
+  }
+
   test("compaction bins never cross partitions; outputs keep their partition value") {
     val root = TestFixtures.workRoot.resolve("part-compact").toString
     val t = GraftTable.create(root, spark,

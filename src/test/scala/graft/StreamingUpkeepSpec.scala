@@ -62,6 +62,18 @@ class StreamingUpkeepSpec extends GraftSuite {
     assert(t.scan().count() == 40)
     assert(StreamingIngest.idempotentAppend(t, batch, work.resolve("ckpt2").toString, 1L))
     assert(t.scan().count() == 60)
+
+    // The guard is a per-checkpoint WATERMARK in table properties, committed
+    // in the same CAS as the append — so it is O(1) to check and SURVIVES
+    // snapshot expiry (the old snapshot-summary markers were deleted with
+    // their snapshots, reopening the duplicate window on a late replay).
+    assert(t.meta.properties.get(StreamingIngest.watermarkKey(ckpt)).contains("1"))
+    graft.jobs.ExpireSnapshots.run(t, Seq(t.currentSnapshot.snapshotId))
+    assert(t.meta.snapshots.size == 1, "history expired to current only")
+    assert(!StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 0L),
+      "replay of an expired-snapshot batch must STILL be skipped")
+    assert(!StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 1L))
+    assert(t.scan().count() == 60)
   }
 
   test("cluster exchange is skew-safe: a hot curve key collapses to one partition, rows survive") {

@@ -101,7 +101,9 @@ object Cluster {
         pgroups.indices.filterNot(already.contains).foreach { gi =>
           val g = pgroups(gi)
           val gBytes = g.map(_.fileSizeBytes).sum
-          val numFiles = math.max(1, math.ceil(gBytes.toDouble / targetBytes).toInt)
+          val numFiles = alignToSlots(
+            math.max(1, math.ceil(gBytes.toDouble / targetBytes).toInt),
+            t.spark.sparkContext.defaultParallelism)
           val t0 = System.nanoTime()
           // Boundary pass on a PROJECTION of the curve key only: Parquet
           // column pruning never reads the image payload, so the table's
@@ -196,6 +198,16 @@ object Cluster {
       added.map(_.rowCount).sum)
   }
 
+  /** Round the reducer/output-file count UP to a multiple of the cluster's
+    * task slots (when above one full wave): a final partial reduce wave
+    * leaves `slots - n % slots` slots idle for a whole task duration — the
+    * measured 22-reducers-over-8-cores artifact cost ~8% of the exchange.
+    * Rounding up only ever makes files slightly SMALLER than target, and at
+    * production scale (reducers >> slots) the adjustment is negligible. */
+  def alignToSlots(n: Int, slots: Int): Int =
+    if (slots <= 0 || n <= slots || n % slots == 0) n
+    else ((n + slots - 1) / slots) * slots
+
   /** The curve of the table's most recent cluster commit at or before
     * `base` — how COW jobs discover the layout they must preserve. None
     * until the table has ever been clustered. */
@@ -212,17 +224,43 @@ object Cluster {
     * merge/delete/transcode/dedup widens the touched files' curve ranges and
     * the clustering that q-pruning depends on decays monotonically until the
     * next full re-cluster. Callers pass the result to writeDataFiles with NO
-    * targetFiles (a further repartition would undo the exchange). */
+    * targetFiles (a further repartition would undo the exchange).
+    *
+    * Partitioned tables: when every affected file is partition-pure (the
+    * invariant all engine writers maintain), the exchange runs per partition
+    * value — a UNION of per-value exchanged children, which under the
+    * engine's `unionOutputPartitioning=false` CONCATENATES their partitions,
+    * so each output file stays both curve-tight and partition-pure. A mixed
+    * affected file (foreign writer) falls back to the plain curve exchange:
+    * still correct, outputs just lose their manifest partition value. */
   def shapeForCurve(t: GraftTable, affected: Seq[DataFileMeta], df: DataFrame,
       curve: String, targetBytes: Long): DataFrame = {
-    val n = math.max(1, math.ceil(
-      affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
-    val bounds = curveBoundaries(
-      t.spark.read.schema(t.schema).parquet(affected.map(_.absPath(t.root)): _*)
-        .select(curveCol(curve).as("__ck")),
-      n, affected.map(_.rowCount).sum)
-    rangeExchange(df.withColumn("__ck", curveCol(curve)), col("__ck"), bounds)
-      .sortWithinPartitions(col("__ck")).drop("__ck")
+    def exchange(files: Seq[DataFileMeta], d: DataFrame): DataFrame = {
+      val n = math.max(1, math.ceil(
+        files.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
+      val bounds = curveBoundaries(
+        t.spark.read.schema(t.schema).parquet(files.map(_.absPath(t.root)): _*)
+          .select(curveCol(curve).as("__ck")),
+        n, files.map(_.rowCount).sum)
+      rangeExchange(d.withColumn("__ck", curveCol(curve)), col("__ck"), bounds)
+        .sortWithinPartitions(col("__ck")).drop("__ck")
+    }
+    t.meta.partitionSpec match {
+      case Some(sp)
+          if affected.nonEmpty &&
+            affected.forall(f => graft.table.PartitionSpec.partitionOf(sp, f).isDefined) =>
+        val pvCol = graft.table.PartitionSpec.toColumn(sp)
+        val valued = affected
+          .groupBy(f => graft.table.PartitionSpec.partitionOf(sp, f).get)
+          .toSeq.sortBy(_._1)
+          .map { case (pv, g) => exchange(g, df.filter(pvCol === lit(pv))) }
+        // NULL partition column rows match no value filter — a COW rewrite
+        // must never drop them. Their child is usually empty (zero-row
+        // partitions write no files).
+        (valued :+ exchange(affected, df.filter(pvCol.isNull)))
+          .reduce(_ unionAll _)
+      case _ => exchange(affected, df)
+    }
   }
 
   /** Max files the global-mode boundary pass reads. Stratified (stride over

@@ -97,6 +97,14 @@ class ClusterSpec extends GraftSuite {
     assert(res2.snapshot.isEmpty && res2.filesIn == 0)
   }
 
+  test("reducer count aligns up to full task waves") {
+    assert(Cluster.alignToSlots(22, 8) == 24) // the measured partial-wave artifact
+    assert(Cluster.alignToSlots(91, 8) == 96)
+    assert(Cluster.alignToSlots(16, 8) == 16) // already aligned
+    assert(Cluster.alignToSlots(5, 8) == 5)   // under one wave: untouched
+    assert(Cluster.alignToSlots(7, 0) == 7)   // no-slot info: untouched
+  }
+
   test("exact range exchange: partition i holds exactly key bucket i, no sampling") {
     import spark.implicits._
     val bounds = Array(100L, 200L, 300L)

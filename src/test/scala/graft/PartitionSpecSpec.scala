@@ -179,6 +179,37 @@ class PartitionSpecSpec extends GraftSuite {
       t.scan().filter(col("fmt") === "png").count())
   }
 
+  test("COW merge on a partitioned AND clustered table keeps partition values and curve pruning") {
+    import spark.implicits._
+    val root = TestFixtures.workRoot.resolve("part-cluster-cow").toString
+    val t = GraftTable.create(root, spark,
+      partitionSpec = Some(PartitionSpec("fmt", "identity")))
+    val all = ImageGen.df(spark, 480, seed = 14L, partitions = 4).cache()
+    GraftTable.append(t, all.filter(col("fmt") === "png"), targetFiles = Some(6))
+    GraftTable.append(t, all.filter(col("fmt") === "jpg"), targetFiles = Some(4))
+    all.unpersist()
+    graft.jobs.Cluster.run(t, curve = "zorder", mode = "global",
+      targetBytes = 64L * 1024)
+    val rows = t.scan().count()
+    // A merge touching rows spread across BOTH partitions: the shaping
+    // exchange must keep each output file curve-tight AND partition-pure.
+    val ids = t.scan().select("image_id").as[String].collect().sorted
+      .zipWithIndex.collect { case (id, i) if i % 10 == 0 => id }.toSeq
+    val res = graft.jobs.MergeInto.run(t,
+      ids.map(id => (id, s"pc-$id")).toDF("image_id", "caption"),
+      targetBytes = 64L * 1024)
+    assert(res.snapshot.isDefined)
+    assert(t.scan().count() == rows, "COW must not lose rows")
+    val snap = t.currentSnapshot
+    val valued = snap.manifests.flatMap(snap.partitionOfManifest)
+    assert(valued.size == snap.manifests.size,
+      s"partition values must survive the curve-shaped COW: $valued of ${snap.manifests.size}")
+    assert(t.planManifests(Seq(EqString("fmt", "png"))).size < snap.manifests.size)
+    val span = RangeLong("phash", Long.MinValue / 16, Long.MaxValue / 16)
+    assert(t.planFiles(Seq(span)).size < t.currentFiles.size,
+      "curve pruning must survive the COW rewrite")
+  }
+
   test("RangeString prunes files by string-key stats and manifests under identity only") {
     import graft.table.RangeString
     val f = file(Map("image_id" -> ColStats(Some("img-0010"), Some("img-0020"), 0)))

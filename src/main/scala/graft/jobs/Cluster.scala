@@ -227,39 +227,52 @@ object Cluster {
     * targetFiles (a further repartition would undo the exchange).
     *
     * Partitioned tables: when every affected file is partition-pure (the
-    * invariant all engine writers maintain), the exchange runs per partition
-    * value — a UNION of per-value exchanged children, which under the
-    * engine's `unionOutputPartitioning=false` CONCATENATES their partitions,
-    * so each output file stays both curve-tight and partition-pure. A mixed
-    * affected file (foreign writer) falls back to the plain curve exchange:
-    * still correct, outputs just lose their manifest partition value. */
+    * invariant all engine writers maintain), the exchange is COMPOSITE —
+    * each partition value owns a contiguous BLOCK of output partitions with
+    * its own curve bounds, routed by one chained-when projection, so a
+    * single shuffle (the rewrite executes once) yields files that are both
+    * curve-tight and partition-pure; NULL partition-column rows get a
+    * trailing block (a COW rewrite must never drop them). A mixed affected
+    * file (foreign writer) falls back to the plain curve exchange: still
+    * correct, outputs just lose their manifest partition value. */
   def shapeForCurve(t: GraftTable, affected: Seq[DataFileMeta], df: DataFrame,
       curve: String, targetBytes: Long): DataFrame = {
-    def exchange(files: Seq[DataFileMeta], d: DataFrame): DataFrame = {
+    def boundsFor(files: Seq[DataFileMeta]): Array[Long] = {
       val n = math.max(1, math.ceil(
         files.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
-      val bounds = curveBoundaries(
+      curveBoundaries(
         t.spark.read.schema(t.schema).parquet(files.map(_.absPath(t.root)): _*)
           .select(curveCol(curve).as("__ck")),
         n, files.map(_.rowCount).sum)
-      rangeExchange(d.withColumn("__ck", curveCol(curve)), col("__ck"), bounds)
-        .sortWithinPartitions(col("__ck")).drop("__ck")
     }
+    val ck = curveCol(curve)
     t.meta.partitionSpec match {
       case Some(sp)
           if affected.nonEmpty &&
             affected.forall(f => graft.table.PartitionSpec.partitionOf(sp, f).isDefined) =>
         val pvCol = graft.table.PartitionSpec.toColumn(sp)
-        val valued = affected
+        val perValue = affected
           .groupBy(f => graft.table.PartitionSpec.partitionOf(sp, f).get)
           .toSeq.sortBy(_._1)
-          .map { case (pv, g) => exchange(g, df.filter(pvCol === lit(pv))) }
-        // NULL partition column rows match no value filter — a COW rewrite
-        // must never drop them. Their child is usually empty (zero-row
-        // partitions write no files).
-        (valued :+ exchange(affected, df.filter(pvCol.isNull)))
-          .reduce(_ unionAll _)
-      case _ => exchange(affected, df)
+          .map { case (pv, g) => (pv, boundsFor(g)) }
+        val blockSizes = perValue.map(_._2.length + 1) :+ 1 // +1 null block
+        val offsets = blockSizes.scanLeft(0)(_ + _)
+        val total = blockSizes.sum
+        val reps = partitionReps(total)
+        val nullRep: Column = lit(reps(offsets(perValue.length)))
+        val repCol = perValue.zipWithIndex.foldRight(nullRep) {
+          case (((pv, bounds), i), els) =>
+            when(pvCol === lit(pv), gf.range_rep(ck, bounds,
+              reps.slice(offsets(i), offsets(i) + bounds.length + 1)))
+              .otherwise(els)
+        }
+        df.withColumn("__ck", ck).withColumn("__rep", repCol)
+          .repartition(total, col("__rep"))
+          .sortWithinPartitions(col("__ck"))
+          .drop("__ck", "__rep")
+      case _ =>
+        rangeExchange(df.withColumn("__ck", ck), col("__ck"), boundsFor(affected))
+          .sortWithinPartitions(col("__ck")).drop("__ck")
     }
   }
 

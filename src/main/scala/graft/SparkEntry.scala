@@ -476,6 +476,36 @@ object SparkEntry {
           Window.partitionBy(lit(1)).orderBy(col("score").desc, col("doc_id").asc)))
         .select(col("doc_id").as("id"), col("rk"))
       graft.operators.TextOps.hybridMerge(local, global)
+    }),
+
+    // Entity merge with edge redirect (reference mergeEntities,
+    // createFlowRAG.ts:51-119) exercised end-to-end through the oracle
+    // gate: nodes = document sources (longest-text description, doc-id
+    // chunk sets), edges = doc-adjacency between sources (round-robin
+    // assignment makes src1->src2 edges collapse into self-loops on merge).
+    // Output = the merged node's fields + deduped-edge stats, one row.
+    "q38_merge_nodes" -> ((s, d) => {
+      val docs = ld(s, d, "documents")
+      val lenKey = (c: Column) =>
+        concat(lpad(length(c).cast("string"), 6, "0"), c)
+      val nodes = docs.groupBy(col("source").as("id"))
+        .agg(min(col("lang")).as("type"),
+          max_by(col("text"), lenKey(col("text"))).as("description"),
+          array_sort(collect_set(col("doc_id").cast("string"))).as("chunk_ids"))
+      val a = docs.select(col("doc_id"), col("source").as("src"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"), col("source").as("dst"))
+      val edges = a.join(b, "doc_id")
+        .select(col("src"), col("dst"), lit("next").as("type"))
+      val (n2, e2) = graft.operators.GraphOps.mergeNodes(
+        nodes, edges, Seq("src1", "src2"), "src1")
+      val nodeRow = n2.filter(col("id") === "src1")
+        .select(col("id"), col("type"),
+          md5(col("description")).as("desc_md5"),
+          md5(concat_ws(",", col("chunk_ids"))).as("chunks_md5"))
+      val stats = e2.agg(count(lit(1)).as("n_edges"),
+        sum(when(col("src") === "src1" || col("dst") === "src1", 1L)
+          .otherwise(0L)).as("n_target_edges"))
+      nodeRow.crossJoin(stats)
     }))
 
   // --------------------------------------------------------------- oracles
@@ -799,6 +829,41 @@ object SparkEntry {
           |  FROM sh WHERE sh IS NOT NULL)
           |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max
           |FROM fps GROUP BY 1""".stripMargin,
+      "q38_merge_nodes" ->
+        // Full relational restatement of mergeNodes semantics: longest-
+        // description winner (fixed-width length key), sorted-distinct chunk
+        // union, redirect + self-loop skip + natural-key dedup on edges.
+        """WITH nodes AS (
+          |  SELECT source AS id, min(lang) AS type,
+          |    max_by(text, lpad(CAST(length(text) AS VARCHAR), 6, '0') || text)
+          |      AS description,
+          |    list_sort(list(DISTINCT CAST(doc_id AS VARCHAR))) AS chunk_ids
+          |  FROM documents GROUP BY 1),
+          |merged AS (
+          |  SELECT 'src1' AS id,
+          |    max(CASE WHEN id = 'src1' THEN type END) AS type,
+          |    max_by(description,
+          |      lpad(CAST(length(description) AS VARCHAR), 6, '0') || description)
+          |      AS description,
+          |    list_sort(list_distinct(flatten(list(chunk_ids)))) AS chunk_ids
+          |  FROM nodes WHERE id IN ('src1', 'src2')),
+          |edges AS (
+          |  SELECT a.source AS src, b.source AS dst, 'next' AS type
+          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+          |red AS (
+          |  SELECT DISTINCT
+          |    CASE WHEN src IN ('src1','src2') THEN 'src1' ELSE src END AS src,
+          |    CASE WHEN dst IN ('src1','src2') THEN 'src1' ELSE dst END AS dst,
+          |    type
+          |  FROM edges
+          |  WHERE (CASE WHEN src IN ('src1','src2') THEN 'src1' ELSE src END)
+          |     <> (CASE WHEN dst IN ('src1','src2') THEN 'src1' ELSE dst END))
+          |SELECT m.id, m.type, md5(m.description) AS desc_md5,
+          |  md5(array_to_string(m.chunk_ids, ',')) AS chunks_md5,
+          |  (SELECT count(*) FROM red) AS n_edges,
+          |  (SELECT count(*) FROM red WHERE src = 'src1' OR dst = 'src1')
+          |    AS n_target_edges
+          |FROM merged m""".stripMargin,
       "q28_zorder" -> {
         // The bit-interleave written out as 63 additive bit terms — an exact
         // SQL restatement of Curves.zorder3 (21 bits per dim, dim0 = low lane).

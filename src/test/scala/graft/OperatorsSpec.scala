@@ -130,6 +130,27 @@ class OperatorsSpec extends GraftSuite {
     assert(n3.count() == 3 && e3.count() == 4)
   }
 
+  test("mergeNodes: carried edge attrs dedup deterministically, untouched edges win") {
+    // Merge b INTO a (target outside the source set): a's own edge is
+    // untouched; b's edges redirect and may collide with it.
+    val nodes = Seq(("a", "x"), ("b", "yyy"), ("c", "z")).toDF("id", "description")
+    val edges = Seq(
+      ("a", "c", "knows", 0.9), // untouched
+      ("b", "c", "knows", 0.2), // redirects to (a, c, knows): collision
+      ("c", "b", "cites", 0.7)) // redirects to (c, a, cites)
+      .toDF("src", "dst", "type", "weight")
+    val (n2, e2) = GraphOps.mergeNodes(nodes, edges, Seq("b"), "a")
+    assert(n2.count() == 2)
+    // The merged node replaces the pre-existing target (reference addEntity
+    // upsert): its description comes from the merged set (only b here).
+    assert(n2.filter(col("id") === "a").head().getString(1) == "yyy")
+    val es = e2.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getDouble(3))).toSet
+    // (a,c,knows): the untouched 0.9 edge wins over the redirected 0.2
+    // (prio 0 < 1), deterministic regardless of partition order.
+    assert(es == Set(("a", "c", "knows", 0.9), ("c", "a", "cites", 0.7)))
+  }
+
   test("graph export sinks: csv/json roundtrip and DOT rendering") {
     val dir = TestFixtures.workRoot.resolve("graph-export").toString
     val nodes = Seq("n1", "n2").toDF("id")

@@ -210,6 +210,27 @@ class PartitionSpecSpec extends GraftSuite {
       "curve pruning must survive the COW rewrite")
   }
 
+  test("composite COW shaping is ONE shuffle and loses no rows") {
+    val root = TestFixtures.workRoot.resolve("part-shape-plan").toString
+    val t = GraftTable.create(root, spark,
+      partitionSpec = Some(PartitionSpec("fmt", "identity")))
+    val all = ImageGen.df(spark, 120, seed = 15L, partitions = 2).cache()
+    GraftTable.append(t, all.filter(col("fmt") === "png"), targetFiles = Some(2))
+    GraftTable.append(t, all.filter(col("fmt") === "jpg"), targetFiles = Some(2))
+    all.unpersist()
+    val affected = t.currentFiles
+    val df = spark.read.schema(t.schema).parquet(affected.map(_.absPath(root)): _*)
+    val shaped = graft.jobs.Cluster.shapeForCurve(t, affected, df, "zorder",
+      64L * 1024)
+    val plan = shaped.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"composite shaping must plan exactly one shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      "no sampling range exchange in the COW path")
+    assert(shaped.count() == affected.map(_.rowCount).sum,
+      "shaping must not lose rows across partition values")
+  }
+
   test("RangeString prunes files by string-key stats and manifests under identity only") {
     import graft.table.RangeString
     val f = file(Map("image_id" -> ColStats(Some("img-0010"), Some("img-0020"), 0)))

@@ -41,6 +41,10 @@ object SparkEntry {
   private val HybridLocalWeight = 0.3
   /** 59-bit probe constant for q30 (fits the 60-bit md5-prefix signature). */
   private val HammingProbe = 0x5A5A5A5A5A5A5A5L
+  /** q39 prompt-template fixture (shared by query and oracle builders). */
+  private val PromptSchemaFixture = graft.operators.TextOps.PromptSchema(
+    Seq("Library", "Algorithm"), Seq("uses", "extends"))
+  private val PromptKnown = Seq("spark", "join")
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a"), "fr" -> Seq("le", "et"), "de" -> Seq("der", "und"),
     "es" -> Seq("el", "y"), "zh" -> Seq("zh0", "zh1"))
@@ -506,6 +510,17 @@ object SparkEntry {
         sum(when(col("src") === "src1" || col("dst") === "src1", 1L)
           .otherwise(0L)).as("n_target_edges"))
       nodeRow.crossJoin(stats)
+    }),
+
+    // C10 extraction-prompt templating (reference core/src/prompt.ts:6-59):
+    // prompt-dataset construction over the documents table — the template
+    // is constant around the content slot, so the whole prompt is one
+    // codegen'd concat per row (the LLM call itself stays out of scope).
+    "q39_prompt_template" -> ((s, d) => {
+      val p = graft.operators.TextOps.extractionPrompt(col("text"),
+        PromptKnown, PromptSchemaFixture)
+      ld(s, d, "documents").select(col("doc_id"),
+        length(p).cast("long").as("prompt_len"), md5(p).as("prompt_md5"))
     }))
 
   // --------------------------------------------------------------- oracles
@@ -864,6 +879,17 @@ object SparkEntry {
           |  (SELECT count(*) FROM red WHERE src = 'src1' OR dst = 'src1')
           |    AS n_target_edges
           |FROM merged m""".stripMargin,
+      "q39_prompt_template" -> {
+        // The oracle rebuilds the identical constant prefix/suffix from the
+        // same parts function and checks the assembled prompt per row.
+        val (pre, suf) = graft.operators.TextOps.extractionPromptParts(
+          PromptKnown, PromptSchemaFixture)
+        def esc(x: String) = x.replace("'", "''")
+        s"""SELECT doc_id,
+           |  CAST(length('${esc(pre)}' || text || '${esc(suf)}') AS BIGINT) AS prompt_len,
+           |  md5('${esc(pre)}' || text || '${esc(suf)}') AS prompt_md5
+           |FROM documents""".stripMargin
+      },
       "q28_zorder" -> {
         // The bit-interleave written out as 63 additive bit terms — an exact
         // SQL restatement of Curves.zorder3 (21 bits per dim, dim0 = low lane).

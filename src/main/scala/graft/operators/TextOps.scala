@@ -82,6 +82,89 @@ object TextOps {
       .select(col("final_rank"), col("id"), col("src"))
   }
 
+  /** C10 schema carrier (reference core/src/schema.ts): field maps are
+    * ordered pair lists so the rendered JSON is deterministic. */
+  case class PromptSchema(
+      entityTypes: Seq[String],
+      relationTypes: Seq[String],
+      entityFields: Seq[(String, String)] = Nil,
+      relationFields: Seq[(String, String)] = Nil)
+
+  /** C10: the reference's extraction-prompt template
+    * (core/src/prompt.ts:6-59) as a codegen'd column expression. The LLM
+    * CALL stays out of scope; prompt-DATASET construction is a
+    * deterministic string operation the engine runs at scale (the template
+    * is constant around the content, so the column is one `concat` —
+    * whole-stage codegen, zero UDFs, no shuffle). */
+  def extractionPrompt(content: Column, knownEntities: Seq[String],
+      schema: PromptSchema): Column = {
+    val (prefix, suffix) = extractionPromptParts(knownEntities, schema)
+    concat(lit(prefix), content, lit(suffix))
+  }
+
+  /** The constant text before/after the content slot — exposed so oracles
+    * (and non-Spark callers) can rebuild the identical prompt. Mirrors
+    * prompt.ts line for line, including JSON.stringify's spaceless
+    * rendering of the custom-field maps. */
+  def extractionPromptParts(knownEntities: Seq[String],
+      schema: PromptSchema): (String, String) = {
+    def json(fields: Seq[(String, String)]): String =
+      fields.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val entityTypes = schema.entityTypes.mkString(", ")
+    val relationTypes = schema.relationTypes.mkString(", ")
+    val knownEntitiesList =
+      if (knownEntities.nonEmpty)
+        s"\n\nKnown entities to reference: ${knownEntities.mkString(", ")}"
+      else ""
+    val entityFieldsDef =
+      if (schema.entityFields.nonEmpty)
+        s"\n\nEntity custom fields: ${json(schema.entityFields)}"
+      else ""
+    val relationFieldsDef =
+      if (schema.relationFields.nonEmpty)
+        s"\n\nRelation custom fields: ${json(schema.relationFields)}"
+      else ""
+    val fieldsInstruction =
+      if (entityFieldsDef.nonEmpty || relationFieldsDef.nonEmpty)
+        "\nInclude a \"fields\" object in each entity/relation with the custom field values when applicable."
+      else ""
+    val entityFieldsSlot = if (entityFieldsDef.nonEmpty) ",\n      \"fields\": {}" else ""
+    val relationFieldsSlot = if (relationFieldsDef.nonEmpty) ",\n      \"fields\": {}" else ""
+    val prefix =
+      s"""Extract entities and relations from the following content.
+         |
+         |Entity types: $entityTypes
+         |Relation types: $relationTypes$knownEntitiesList$entityFieldsDef$relationFieldsDef
+         |
+         |Content:
+         |""".stripMargin
+    val suffix =
+      s"""
+         |
+         |Return a JSON object with this structure:
+         |{
+         |  "entities": [
+         |    {
+         |      "name": "entity name",
+         |      "type": "entity type from the list above, or 'Other' if not matching",
+         |      "description": "brief description of the entity"$entityFieldsSlot
+         |    }
+         |  ],
+         |  "relations": [
+         |    {
+         |      "source": "source entity name",
+         |      "target": "target entity name",
+         |      "type": "relation type from the list above",
+         |      "description": "description of the relationship",
+         |      "keywords": ["keyword1", "keyword2"]$relationFieldsSlot
+         |    }
+         |  ]
+         |}
+         |
+         |Focus on technical entities and their relationships. Be precise and avoid duplicates.$fieldsInstruction""".stripMargin
+    (prefix, suffix)
+  }
+
   /** F8: entity resolution chain — exact id, then case-insensitive, then
     * substring (reference: mcp/src/resolve.ts:3-19). Returns matches with
     * the rank of the rule that matched (1 best), best-first. */

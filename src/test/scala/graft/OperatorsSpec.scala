@@ -151,6 +151,29 @@ class OperatorsSpec extends GraftSuite {
     assert(es == Set(("a", "c", "knows", 0.9), ("c", "a", "cites", 0.7)))
   }
 
+  test("extraction prompt template mirrors the reference's structure") {
+    import graft.operators.TextOps.{extractionPrompt, extractionPromptParts, PromptSchema}
+    val plain = extractionPromptParts(Nil, PromptSchema(Seq("A"), Seq("r")))
+    assert(plain._1.startsWith("Extract entities and relations"))
+    assert(!plain._1.contains("Known entities"))
+    assert(!plain._2.contains("\"fields\": {}"))
+    val full = extractionPromptParts(Seq("k1", "k2"),
+      PromptSchema(Seq("A", "B"), Seq("r1", "r2"),
+        entityFields = Seq("prio" -> "string"),
+        relationFields = Seq("w" -> "number")))
+    assert(full._1.contains("Known entities to reference: k1, k2"))
+    assert(full._1.contains("""Entity custom fields: {"prio":"string"}"""))
+    assert(full._1.contains("""Relation custom fields: {"w":"number"}"""))
+    assert(full._2.contains("\"fields\": {}"))
+    assert(full._2.contains("Include a \"fields\" object"))
+    val p = Seq("THE CONTENT").toDF("text")
+      .select(extractionPrompt(col("text"), Seq("k1"),
+        PromptSchema(Seq("A"), Seq("r"))).as("p"))
+      .head().getString(0)
+    assert(p.contains("Content:\nTHE CONTENT\n\nReturn a JSON object"))
+    assert(p.endsWith("Be precise and avoid duplicates."))
+  }
+
   test("graph export sinks: csv/json roundtrip and DOT rendering") {
     val dir = TestFixtures.workRoot.resolve("graph-export").toString
     val nodes = Seq("n1", "n2").toDF("id")

@@ -110,7 +110,14 @@ object Main {
             arg(args, "fmt").map(EqString("fmt", _)),
             arg(args, "phash-min").map(v => GeLong("phash", v.toLong)),
             arg(args, "phash-max").map(v => LeLong("phash", v.toLong)),
-            arg(args, "w-min").map(v => GeLong("w", v.toLong))).flatten
+            arg(args, "w-min").map(v => GeLong("w", v.toLong)),
+            // Key-range scan (the targeted-MERGE discovery shape): both
+            // bounds required; prunes by image_id manifest stats.
+            (arg(args, "id-min"), arg(args, "id-max")) match {
+              case (Some(lo), Some(hi)) =>
+                Some(graft.table.RangeString("image_id", lo, hi))
+              case _ => None
+            }).flatten
           val pruned = t.planFiles(filters).size
           val df = t.scanWhere(filters, snapId)
           val n = df.count()

@@ -111,13 +111,11 @@ object Main {
             arg(args, "phash-min").map(v => GeLong("phash", v.toLong)),
             arg(args, "phash-max").map(v => LeLong("phash", v.toLong)),
             arg(args, "w-min").map(v => GeLong("w", v.toLong)),
-            // Key-range scan (the targeted-MERGE discovery shape): both
-            // bounds required; prunes by image_id manifest stats.
-            (arg(args, "id-min"), arg(args, "id-max")) match {
-              case (Some(lo), Some(hi)) =>
-                Some(graft.table.RangeString("image_id", lo, hi))
-              case _ => None
-            }).flatten
+            // Key-range scan (the targeted-MERGE discovery shape); each
+            // bound stands alone, so --id-min without --id-max is a
+            // half-open range, not a silent no-op.
+            arg(args, "id-min").map(graft.table.GeString("image_id", _)),
+            arg(args, "id-max").map(graft.table.LeString("image_id", _))).flatten
           val pruned = t.planFiles(filters).size
           val df = t.scanWhere(filters, snapId)
           val n = df.count()

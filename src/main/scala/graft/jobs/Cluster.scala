@@ -237,13 +237,18 @@ object Cluster {
     * correct, outputs just lose their manifest partition value. */
   def shapeForCurve(t: GraftTable, affected: Seq[DataFileMeta], df: DataFrame,
       curve: String, targetBytes: Long): DataFrame = {
+    // Bounds passes read a bounded stratified FILE sample, like the global
+    // cluster's boundary pass — a COW whose affected set covers most of a
+    // huge table must not pay a full key-column scan before the rewrite
+    // (bounds steer balance only, never correctness).
     def boundsFor(files: Seq[DataFileMeta]): Array[Long] = {
       val n = math.max(1, math.ceil(
         files.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
+      val sample = strideSample(files.sortBy(_.path), BoundsSampleFiles)
       curveBoundaries(
-        t.spark.read.schema(t.schema).parquet(files.map(_.absPath(t.root)): _*)
+        t.spark.read.schema(t.schema).parquet(sample.map(_.absPath(t.root)): _*)
           .select(curveCol(curve).as("__ck")),
-        n, files.map(_.rowCount).sum)
+        n, sample.map(_.rowCount).sum)
     }
     val ck = curveCol(curve)
     t.meta.partitionSpec match {
@@ -255,12 +260,21 @@ object Cluster {
           .groupBy(f => graft.table.PartitionSpec.partitionOf(sp, f).get)
           .toSeq.sortBy(_._1)
           .map { case (pv, g) => (pv, boundsFor(g)) }
-        val blockSizes = perValue.map(_._2.length + 1) :+ 1 // +1 null block
+        // The OVERFLOW block catches rows whose partition value is NULL or
+        // differs from every affected file's value — a rewrite may CHANGE
+        // the partition column (transcode on a fmt-partitioned table maps
+        // every row to the new format). It is a full curve-range block, not
+        // a single partition, so a whole-value-change rewrite still spreads
+        // across ~target-sized, curve-sorted files (they regain manifest
+        // values from their own stats at commit when they land pure).
+        val ovBounds = boundsFor(affected)
+        val blockSizes = perValue.map(_._2.length + 1) :+ (ovBounds.length + 1)
         val offsets = blockSizes.scanLeft(0)(_ + _)
         val total = blockSizes.sum
         val reps = partitionReps(total)
-        val nullRep: Column = lit(reps(offsets(perValue.length)))
-        val repCol = perValue.zipWithIndex.foldRight(nullRep) {
+        val overflow: Column = gf.range_rep(ck, ovBounds,
+          reps.slice(offsets(perValue.length), total))
+        val repCol = perValue.zipWithIndex.foldRight(overflow) {
           case (((pv, bounds), i), els) =>
             when(pvCol === lit(pv), gf.range_rep(ck, bounds,
               reps.slice(offsets(i), offsets(i) + bounds.length + 1)))

@@ -131,9 +131,12 @@ object GraphOps {
     val inSources = (c: org.apache.spark.sql.Column) => c.isin(srcSet: _*)
     val has = (df: DataFrame, c: String) => df.columns.contains(c)
 
-    // Merged node row: aggregates over the source-node set only (empty set
-    // -> no merged row -> the merge is a no-op, as in the reference).
+    // Merged node row: aggregates over the source-node set only. An EMPTY
+    // source set must be a full no-op (the reference returns early) — in
+    // particular it must NOT delete a pre-existing target node, so check
+    // emptiness up front (a LIMIT-1 job on the id-filtered nodes).
     val merged0 = nodes.filter(inSources(col("id")))
+    if (merged0.isEmpty) return (nodes, edges)
     val aggs: Seq[org.apache.spark.sql.Column] =
       nodes.columns.toSeq.filterNot(_ == "id").map {
         case "type" => coalesce(
@@ -163,7 +166,9 @@ object GraphOps {
         when(inSources(col("src")) || inSources(col("dst")), 1).otherwise(0))
       .withColumn("src", when(inSources(col("src")), target).otherwise(col("src")))
       .withColumn("dst", when(inSources(col("dst")), target).otherwise(col("dst")))
-      .filter(col("src") =!= col("dst"))
+      // Null-safe: a dangling edge (NULL endpoint) is not a self-loop and
+      // must survive the merge untouched.
+      .filter(!(col("src") <=> col("dst")))
     val carried = attrCols.filterNot(keyCols.contains)
     val outEdges =
       if (carried.isEmpty)

@@ -21,6 +21,8 @@ case class EqString(col: String, v: String) extends PruneFilter
 case class EqLong(col: String, v: Long) extends PruneFilter
 case class RangeLong(col: String, lo: Long, hi: Long) extends PruneFilter
 case class RangeString(col: String, lo: String, hi: String) extends PruneFilter
+case class GeString(col: String, lo: String) extends PruneFilter
+case class LeString(col: String, hi: String) extends PruneFilter
 case class GeLong(col: String, lo: Long) extends PruneFilter
 case class LeLong(col: String, hi: Long) extends PruneFilter
 
@@ -31,6 +33,8 @@ object PruneFilter {
     case EqLong(c, v)         => col(c) === lit(v)
     case RangeLong(c, l, h)   => col(c) >= lit(l) && col(c) <= lit(h)
     case RangeString(c, l, h) => col(c) >= lit(l) && col(c) <= lit(h)
+    case GeString(c, l)       => col(c) >= lit(l)
+    case LeString(c, h)       => col(c) <= lit(h)
     case GeLong(c, l)         => col(c) >= lit(l)
     case LeLong(c, h)         => col(c) <= lit(h)
   }
@@ -48,6 +52,8 @@ object PruneFilter {
               case EqLong(_, v)         => mn.toLong <= v && v <= mx.toLong
               case RangeLong(_, l, h)   => mn.toLong <= h && mx.toLong >= l
               case RangeString(_, l, h) => mn <= h && mx >= l
+              case GeString(_, l)       => mx >= l
+              case LeString(_, h)       => mn <= h
               case GeLong(_, l)         => mx.toLong >= l
               case LeLong(_, h)         => mn.toLong <= h
             }

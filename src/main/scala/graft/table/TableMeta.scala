@@ -108,10 +108,13 @@ object PartitionSpec {
     f match {
       case EqString(_, v) => applyTransform(spec, v).forall(_ == pv)
       case EqLong(_, v) => applyTransform(spec, v.toString).forall(_ == pv)
-      // String ranges prune only under identity (a truncate[N] value stands
-      // for a numeric interval, where lexicographic bounds are unsound).
+      // String ranges/bounds prune only under identity (a truncate[N] value
+      // stands for a numeric interval, where lexicographic bounds are
+      // unsound).
       case RangeString(_, lo, hi) =>
         spec.transform != "identity" || (pv >= lo && pv <= hi)
+      case GeString(_, lo) => spec.transform != "identity" || pv >= lo
+      case LeString(_, hi) => spec.transform != "identity" || pv <= hi
       case RangeLong(_, lo, hi) =>
         pvLong.forall(p => p <= hi && p + width - 1 >= lo)
       case GeLong(_, lo) => pvLong.forall(p => p + width - 1 >= lo)

@@ -128,6 +128,19 @@ class OperatorsSpec extends GraftSuite {
     // Unknown sources: a no-op, as in the reference (sourceEntities empty).
     val (n3, e3) = GraphOps.mergeNodes(nodes, edges, Seq("zzz"), "zzz-target")
     assert(n3.count() == 3 && e3.count() == 4)
+    // ... including when the TARGET exists: the no-op must not delete it.
+    val (n4, _) = GraphOps.mergeNodes(nodes, edges, Seq("ghost"), "apple")
+    assert(n4.count() == 3 && n4.filter(col("id") === "apple").count() == 1)
+  }
+
+  test("mergeNodes keeps dangling (null-endpoint) edges untouched") {
+    val nodes = Seq(("a", "x"), ("b", "y"), ("c", "z")).toDF("id", "description")
+    val edges = Seq(("a", null.asInstanceOf[String], "dangling"),
+      ("b", "c", "knows")).toDF("src", "dst", "type")
+    val (_, e2) = GraphOps.mergeNodes(nodes, edges, Seq("b"), "a")
+    val es = e2.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // The null-dst edge is not a self-loop and must survive; b's edge redirects.
+    assert(es == Set(("a", null, "dangling"), ("a", "c", "knows")))
   }
 
   test("mergeNodes: carried edge attrs dedup deterministically, untouched edges win") {

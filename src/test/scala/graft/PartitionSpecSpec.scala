@@ -210,6 +210,33 @@ class PartitionSpecSpec extends GraftSuite {
       "curve pruning must survive the COW rewrite")
   }
 
+  test("COW transcode that CHANGES the partition value spreads across the overflow block") {
+    val root = TestFixtures.workRoot.resolve("part-transcode-ov").toString
+    val t = GraftTable.create(root, spark,
+      partitionSpec = Some(PartitionSpec("fmt", "identity")))
+    val all = ImageGen.df(spark, 360, seed = 16L, partitions = 4).cache()
+    GraftTable.append(t, all.filter(col("fmt") === "png"), targetFiles = Some(5))
+    GraftTable.append(t, all.filter(col("fmt") === "jpg"), targetFiles = Some(3))
+    all.unpersist()
+    graft.jobs.Cluster.run(t, curve = "zorder", mode = "global",
+      targetBytes = 64L * 1024)
+    val rows = t.scan().count()
+    val pngRows = t.scan().filter(col("fmt") === "png").count()
+    // Every rewritten row's fmt flips png -> jpg: no per-value block matches,
+    // so rows route through the OVERFLOW block — which must be a full
+    // curve-range exchange, not a single collapsed partition.
+    val res = graft.jobs.Transcode.run(t, "png", "jpg", targetBytes = 64L * 1024)
+    assert(res.snapshot.isDefined && res.transcodedRows == pngRows)
+    assert(t.scan().count() == rows, "transcode must not lose rows")
+    assert(t.scan().filter(col("fmt") === "png").count() == 0)
+    val added = t.currentSnapshot.summary("added-files").toInt
+    assert(added > 1,
+      s"a whole-value-change rewrite must spread over ~target-size files, got $added")
+    // The new all-jpg files are partition-pure: their manifests carry values.
+    val snap = t.currentSnapshot
+    assert(snap.manifests.flatMap(snap.partitionOfManifest).size == snap.manifests.size)
+  }
+
   test("composite COW shaping is ONE shuffle and loses no rows") {
     val root = TestFixtures.workRoot.resolve("part-shape-plan").toString
     val t = GraftTable.create(root, spark,
@@ -245,6 +272,15 @@ class PartitionSpecSpec extends GraftSuite {
     // truncate values stand for numeric intervals: string bounds never prune.
     val tr = PartitionSpec("phash", "truncate[100]")
     assert(PartitionSpec.mayMatch(tr, "100", RangeString("phash", "5", "6")))
+    // One-sided string bounds (CLI --id-min / --id-max).
+    import graft.table.{GeString, LeString}
+    val f2 = file(Map("image_id" -> ColStats(Some("img-0010"), Some("img-0020"), 0)))
+    assert(graft.table.PruneFilter.mayMatch(f2, GeString("image_id", "img-0015")))
+    assert(!graft.table.PruneFilter.mayMatch(f2, GeString("image_id", "img-0021")))
+    assert(graft.table.PruneFilter.mayMatch(f2, LeString("image_id", "img-0010")))
+    assert(!graft.table.PruneFilter.mayMatch(f2, LeString("image_id", "img-0009")))
+    assert(!PartitionSpec.mayMatch(id, "gif", GeString("fmt", "png")))
+    assert(PartitionSpec.mayMatch(id, "png", LeString("fmt", "png")))
   }
 
   test("compaction bins never cross partitions; outputs keep their partition value") {

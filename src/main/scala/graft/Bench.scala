@@ -28,21 +28,38 @@ object Bench {
     scala.util.Try(spark.read.parquet(s"$sfDir/nation.parquet").count())
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = scala.collection.mutable.Map[String, List[Double]]()
+    // A failed trial must NOT contribute a timing: min-over-trials would
+    // report the (truncated) throw-path time as a legitimate fast number and
+    // the JSON would carry no hint. Failures go to `err` instead; a query
+    // with zero successful trials reports -1.
+    val errs = scala.collection.mutable.Map[String, String]()
     for (_ <- 1 to Trials; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      times(name) = times.getOrElse(name, Nil) :+ dt
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = times.getOrElse(name, Nil) :+ dt
+      } catch {
+        case e: Throwable =>
+          errs(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
+      }
     }
     def fmtMap(sel: List[Double] => Double): String =
-      names.map(n => "\"" + n + f"\":${sel(times(n))}%.3f").mkString("{", ",", "}")
+      names.map { n =>
+        val v = times.get(n).filter(_.nonEmpty).map(sel)
+        "\"" + n + "\":" + v.map(x => f"$x%.3f").getOrElse("-1")
+      }.mkString("{", ",", "}")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ")
+    val errJson = names.map(n =>
+      "\"" + n + "\":" + errs.get(n).map(m => "\"" + esc(m) + "\"").getOrElse("null"))
+      .mkString("{", ",", "}")
     val qs = fmtMap(_.min)
     val cold = fmtMap(_.head)
-    val total = names.map(n => times(n).min).sum
+    val total = names.flatMap(n => times.get(n).filter(_.nonEmpty).map(_.min)).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"trials":$Trials,"action":"noop","cold":$cold,"sf":"$sfDir","cpus":$cpus}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"trials":$Trials,"action":"noop","cold":$cold,"err":$errJson,"sf":"$sfDir","cpus":$cpus}"""
     println(json)
     // sbt prefixes forked stdout with "[info] ", which breaks line-level JSON
     // parsing downstream — also write the bare line to a file.

@@ -86,7 +86,8 @@ object Main {
           if (changes.isEmpty) println("schema unchanged")
           else changes.foreach(c => println(s"applied: ${c.describe}"))
         case "metrics" =>
-          graft.lineage.Metrics.events(root).foreach { e =>
+          // --tail N: bounded-memory recent-events view for long-lived tables.
+          graft.lineage.Metrics.events(root, arg(args, "tail").map(_.toInt)).foreach { e =>
             println(s"ts=${e.ts} kind=${e.kind} name=${e.name} durationMs=${e.durationMs}" +
               s" rows=${e.outputRows.getOrElse(-1L)} read=${e.bytesRead.getOrElse(-1L)}" +
               s" written=${e.bytesWritten.getOrElse(-1L)} ${e.detail.map { case (k, v) => s"$k=$v" }.mkString(" ")}")

@@ -847,7 +847,11 @@ object SparkEntry {
       "q38_merge_nodes" ->
         // Full relational restatement of mergeNodes semantics: longest-
         // description winner (fixed-width length key), sorted-distinct chunk
-        // union, redirect + self-loop skip + natural-key dedup on edges.
+        // union, redirect + self-loop skip, and SCOPED natural-key dedup —
+        // only the redirected edges dedup (among themselves and against the
+        // untouched edges they collide with); untouched edges pass through
+        // verbatim, pre-existing duplicates included (the reference only
+        // dedups the relations it re-adds).
         """WITH nodes AS (
           |  SELECT source AS id, min(lang) AS type,
           |    max_by(text, lpad(CAST(length(text) AS VARCHAR), 6, '0') || text)
@@ -865,18 +869,28 @@ object SparkEntry {
           |edges AS (
           |  SELECT a.source AS src, b.source AS dst, 'next' AS type
           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+          |untouched AS (
+          |  SELECT src, dst, type FROM edges
+          |  WHERE src NOT IN ('src1','src2') AND dst NOT IN ('src1','src2')),
           |red AS (
           |  SELECT DISTINCT
           |    CASE WHEN src IN ('src1','src2') THEN 'src1' ELSE src END AS src,
           |    CASE WHEN dst IN ('src1','src2') THEN 'src1' ELSE dst END AS dst,
           |    type
           |  FROM edges
-          |  WHERE (CASE WHEN src IN ('src1','src2') THEN 'src1' ELSE src END)
-          |     <> (CASE WHEN dst IN ('src1','src2') THEN 'src1' ELSE dst END))
+          |  WHERE (src IN ('src1','src2') OR dst IN ('src1','src2'))
+          |    AND (CASE WHEN src IN ('src1','src2') THEN 'src1' ELSE src END)
+          |     <> (CASE WHEN dst IN ('src1','src2') THEN 'src1' ELSE dst END)),
+          |newe AS (
+          |  SELECT r.src, r.dst, r.type FROM red r
+          |  WHERE NOT EXISTS (SELECT 1 FROM untouched u
+          |    WHERE u.src = r.src AND u.dst = r.dst AND u.type = r.type)),
+          |oute AS (
+          |  SELECT * FROM untouched UNION ALL SELECT * FROM newe)
           |SELECT m.id, m.type, md5(m.description) AS desc_md5,
           |  md5(array_to_string(m.chunk_ids, ',')) AS chunks_md5,
-          |  (SELECT count(*) FROM red) AS n_edges,
-          |  (SELECT count(*) FROM red WHERE src = 'src1' OR dst = 'src1')
+          |  (SELECT count(*) FROM oute) AS n_edges,
+          |  (SELECT count(*) FROM oute WHERE src = 'src1' OR dst = 'src1')
           |    AS n_target_edges
           |FROM merged m""".stripMargin,
       "q39_prompt_template" -> {

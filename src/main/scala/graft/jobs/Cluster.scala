@@ -97,8 +97,20 @@ object Cluster {
             .groupBy(f => graft.table.PartitionSpec.partitionOf(sp, f))
             .toSeq.sortBy(_._1.getOrElse("")).map(_._2)
         }
+        // Partition-value groups run on the SAME bounded pool as groups
+        // mode (they are independent lineage units): a table with many
+        // SMALL partition values must not serialize many under-parallel
+        // exchanges — each small value's job leaves most task slots idle,
+        // and pooling overlaps them. Big values saturate the cluster alone
+        // and simply queue.
         val already = Lineage.committedUnits(t.root, jid)
-        pgroups.indices.filterNot(already.contains).foreach { gi =>
+        import java.util.concurrent.Executors
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrentGroups))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val fs = pgroups.indices.filterNot(already.contains).map { gi => Future {
           val g = pgroups(gi)
           val gBytes = g.map(_.fileSizeBytes).sum
           val numFiles = alignToSlots(
@@ -140,7 +152,9 @@ object Cluster {
           Lineage.commitUnit(t.root, UnitLineage(jid, gi, g.map(_.path), out,
             out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum,
             (System.nanoTime() - t0) / 1000000))
-        }
+          } }
+          Await.result(Future.sequence(fs), Duration.Inf)
+        } finally pool.shutdown()
         Lineage.committedUnits(t.root, jid).values.flatMap(_.filesOut)
           .toSeq.sortBy(_.path)
       case "groups" =>
@@ -236,14 +250,16 @@ object Cluster {
     * file (foreign writer) falls back to the plain curve exchange: still
     * correct, outputs just lose their manifest partition value. */
   def shapeForCurve(t: GraftTable, affected: Seq[DataFileMeta], df: DataFrame,
-      curve: String, targetBytes: Long): DataFrame = {
+      curve: String, targetBytes: Long,
+      partitionMayChange: Boolean = false): DataFrame = {
     // Bounds passes read a bounded stratified FILE sample, like the global
     // cluster's boundary pass — a COW whose affected set covers most of a
     // huge table must not pay a full key-column scan before the rewrite
     // (bounds steer balance only, never correctness).
-    def boundsFor(files: Seq[DataFileMeta]): Array[Long] = {
-      val n = math.max(1, math.ceil(
+    def boundsFor(files: Seq[DataFileMeta], capN: Option[Int] = None): Array[Long] = {
+      val n0 = math.max(1, math.ceil(
         files.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)
+      val n = capN.fold(n0)(c => math.min(n0, math.max(1, c)))
       val sample = strideSample(files.sortBy(_.path), BoundsSampleFiles)
       curveBoundaries(
         t.spark.read.schema(t.schema).parquet(sample.map(_.absPath(t.root)): _*)
@@ -263,11 +279,18 @@ object Cluster {
         // The OVERFLOW block catches rows whose partition value is NULL or
         // differs from every affected file's value — a rewrite may CHANGE
         // the partition column (transcode on a fmt-partitioned table maps
-        // every row to the new format). It is a full curve-range block, not
-        // a single partition, so a whole-value-change rewrite still spreads
-        // across ~target-sized, curve-sorted files (they regain manifest
-        // values from their own stats at commit when they land pure).
-        val ovBounds = boundsFor(affected)
+        // every row to the new format). Jobs that CAN change the column
+        // (`partitionMayChange`) get a full curve-range block, so a
+        // whole-value-change rewrite still spreads across ~target-sized,
+        // curve-sorted files (they regain manifest values from their own
+        // stats at commit when they land pure). Jobs that can't (delete,
+        // dedup, caption-only merge) get ONE TASK WAVE of partitions: the
+        // block is empty in their common case, and empty reducers still
+        // cost shuffle bookkeeping — a full-width block roughly doubled
+        // every COW rewrite's reducer count for nothing.
+        val ovCap = if (partitionMayChange) None
+          else Some(t.spark.sparkContext.defaultParallelism)
+        val ovBounds = boundsFor(affected, ovCap)
         val blockSizes = perValue.map(_._2.length + 1) :+ (ovBounds.length + 1)
         val offsets = blockSizes.scanLeft(0)(_ + _)
         val total = blockSizes.sum

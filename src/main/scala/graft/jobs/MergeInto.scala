@@ -20,7 +20,9 @@ import graft.table.{DataFileMeta, GraftTable, Snapshot}
  * Scale design:
  *  - Affected-file discovery is a projection-only scan (image_id +
  *    input_file_name) joined to source keys: only FILE PATHS reach the
- *    driver.
+ *    driver. The scan is persisted and reused by the insert anti-join, so
+ *    the candidate files' key column is read from Parquet exactly ONCE per
+ *    merge (guarded by MergeDedupSpec's single-scan plan test).
  *  - Join strategy: source below `broadcastThreshold` -> broadcast hash join
  *    (zero shuffle of the big side). Larger sources -> sort-merge join with
  *    AQE skew-split enabled; because image_id is the unique natural key the
@@ -108,10 +110,16 @@ object MergeInto {
     // key-ordered table opens ~its files, not every file's key column.
     val candidates = candidateFiles(files, srcStats.getString(3), srcStats.getString(4))
 
-    // 1. Affected files: projection-only scan — Parquet reads just image_id.
-    val scanWithFile = readKeyed(t, candidates)
+    // 1. ONE projection-only key scan serves BOTH the affected-file
+    // discovery and the insert anti-join below (they used to scan the key
+    // column independently — 2x the key-column IO on a wide-range merge for
+    // no benefit). The persisted frame is two thin columns (image_id +
+    // source file), MEMORY_AND_DISK so a giant candidate set spills rather
+    // than evicting; Parquet reads just image_id, once, at materialization.
+    val keyScan = readKeyed(t, candidates)
       .select(col("image_id"), input_file_name().as("__file"))
-    val affectedUris = scanWithFile
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val affectedUris = keyScan
       .join(srcKeyed.select("image_id"), Seq("image_id"), "left_semi")
       .select("__file").distinct().collect().map(_.getString(0)).toSet
     val affectedRel = affectedUris.map(uriToRel(t.root, _))
@@ -125,13 +133,12 @@ object MergeInto {
         val joined = tgt.join(srcKeyed, Seq("image_id"), "left_outer")
           .withColumn("__wh", when(col("src_bytes").isNotNull,
             gf.decode_wh(col("src_bytes"))))
-        val fmtOf = udf((b: Array[Byte]) => graft.images.ImageCodec.detectFmt(b))
         val rewritten = joined.select(Seq(
           col("image_id"),
           coalesce(col("src_bytes"), col("bytes")).as("bytes"),
           coalesce(col("__wh.w"), col("w")).as("w"),
           coalesce(col("__wh.h"), col("h")).as("h"),
-          when(col("src_bytes").isNotNull, fmtOf(col("src_bytes"))).otherwise(col("fmt")).as("fmt"),
+          when(col("src_bytes").isNotNull, gf.detect_fmt(col("src_bytes"))).otherwise(col("fmt")).as("fmt"),
           coalesce(col("src_caption"), col("caption")).as("caption"),
           when(col("src_bytes").isNotNull, gf.phash64(col("src_bytes"))).otherwise(col("phash")).as("phash"))
           // Schema-evolved extra columns pass through from the target —
@@ -141,7 +148,11 @@ object MergeInto {
         // merge traffic silently erodes the layout q-pruning depends on).
         Cluster.activeCurve(t, base) match {
           case Some(cv) => t.writeDataFiles(
-            Cluster.shapeForCurve(t, affected, rewritten, cv, targetBytes))
+            // A merge carrying replacement bytes can change fmt (and with it
+            // a fmt partition value) — caption-only merges can't, and get
+            // the slim overflow block.
+            Cluster.shapeForCurve(t, affected, rewritten, cv, targetBytes,
+              partitionMayChange = srcStats.getLong(1) > 0))
           case None => t.writeDataFiles(rewritten,
             targetFiles = Some(math.max(1, math.ceil(
               affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
@@ -149,10 +160,11 @@ object MergeInto {
       }
 
     // 3. Inserts: source keys not in the target at all (left-anti on the
-    // pruned key scan — anti-join U3). Candidate files suffice: a source key
-    // can only exist in a file whose stats range admits it, and every such
-    // file is a candidate by construction.
-    val tgtKeys = readKeyed(t, candidates).select("image_id")
+    // SAME persisted key scan — anti-join U3, zero additional file IO).
+    // Candidate files suffice: a source key can only exist in a file whose
+    // stats range admits it, and every such file is a candidate by
+    // construction.
+    val tgtKeys = keyScan.select("image_id")
     val inserts = src.join(tgtKeys, Seq("image_id"), "left_anti")
       .filter(col("src_bytes").isNotNull) // an insert needs a payload
       .withColumn("__wh", gf.decode_wh(col("src_bytes")))
@@ -161,8 +173,7 @@ object MergeInto {
         col("src_bytes").as("bytes"),
         col("__wh.w").as("w"),
         col("__wh.h").as("h"),
-        udf((b: Array[Byte]) => graft.images.ImageCodec.detectFmt(b))
-          .apply(col("src_bytes")).as("fmt"),
+        gf.detect_fmt(col("src_bytes")).as("fmt"),
         coalesce(col("src_caption"), lit("")).as("caption"),
         gf.phash64(col("src_bytes")).as("phash"))
         // Evolved extra columns: inserts carry typed NULLs (the source has
@@ -176,6 +187,7 @@ object MergeInto {
     // partitions produce no files, and footerStats drops zero-row ones, so
     // no pre-count action is needed (the write IS the emptiness check).
     val insertFiles = t.writeDataFiles(inserts)
+    keyScan.unpersist()
     val insertedRows = insertFiles.map(_.rowCount).sum
 
     if (affected.isEmpty && insertFiles.isEmpty)

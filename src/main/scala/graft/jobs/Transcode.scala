@@ -53,7 +53,11 @@ object Transcode {
     // values; bounds from the old keys only steer balance, never correctness.
     val files = Cluster.activeCurve(t, base) match {
       case Some(cv) => t.writeDataFiles(
-        Cluster.shapeForCurve(t, affected, out, cv, targetBytes))
+        // Transcode maps every row to the new format — on a fmt-partitioned
+        // table the whole rewrite lands in the overflow block, which must
+        // therefore be full curve-range width.
+        Cluster.shapeForCurve(t, affected, out, cv, targetBytes,
+          partitionMayChange = true))
       case None => t.writeDataFiles(out, targetFiles = Some(math.max(1,
         math.ceil(affected.map(_.fileSizeBytes).sum.toDouble / targetBytes).toInt)))
     }

@@ -181,18 +181,41 @@ object Metrics {
     })
   }
 
-  /** All recorded events under `root` (driver-side read; test/CLI surface). */
-  def events(root: String): Seq[QueryEvent] = {
+  /** Recorded events under `root` (driver-side read; test/CLI surface).
+    * `tail = Some(n)` keeps only the n most-recent events with BOUNDED
+    * memory — a long-lived continuous-ingest table accumulates unbounded
+    * JSONL, and materializing it all to answer "what happened recently"
+    * would grow the driver heap with table age. Events stream through a
+    * size-n min-heap on ts (per-process files are time-ordered internally
+    * but interleave across processes, so a global sort of SOME bounded
+    * structure is required either way). */
+  def events(root: String, tail: Option[Int] = None): Seq[QueryEvent] = {
     val d = dir(root)
     if (!Files.exists(d)) return Nil
     import scala.jdk.CollectionConverters._
     val listing = Files.list(d)
-    try listing.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".jsonl"))
-      .flatMap(p => new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        .split("\n").iterator.filter(_.nonEmpty)
-        .map(TableJson.read[QueryEvent]))
-      .toSeq.sortBy(_.ts)
-    finally listing.close()
+    try {
+      val lines = listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".jsonl"))
+        .flatMap { p =>
+          val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+          Iterator.continually(r.readLine())
+            .takeWhile { l => if (l == null) r.close(); l != null }
+            .filter(_.nonEmpty)
+        }
+        .map(TableJson.read[QueryEvent])
+      tail match {
+        case None => lines.toSeq.sortBy(_.ts)
+        case Some(n) =>
+          // Min-heap of the n largest timestamps: O(total log n), O(n) memory.
+          val heap = new java.util.PriorityQueue[QueryEvent](
+            math.max(1, n), java.util.Comparator.comparingLong[QueryEvent](_.ts))
+          lines.foreach { e =>
+            if (heap.size < n) heap.add(e)
+            else if (n > 0 && e.ts > heap.peek().ts) { heap.poll(); heap.add(e) }
+          }
+          heap.asScala.toSeq.sortBy(_.ts)
+      }
+    } finally listing.close()
   }
 }

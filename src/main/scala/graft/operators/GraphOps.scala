@@ -113,8 +113,11 @@ object GraphOps {
     * lexicographically — the distributed analog of the reference's
     * first-in-list) and the union of chunk_ids (A5 set union, sorted for
     * determinism); edges incident to any merged node are redirected to
-    * `target`, self-loops skipped, and the result deduped on the natural key
-    * (src, type?, dst) (createFlowRAG.ts:108-118). The node's `type` comes
+    * `target`, self-loops skipped, and ONLY those re-added edges deduped on
+    * the natural key (src, type?, dst) — against each other and against the
+    * untouched edges they collide with (createFlowRAG.ts:108-118); edges
+    * between unrelated nodes pass through verbatim, pre-existing duplicates
+    * included. The node's `type` comes
     * from the target node when it is among the merged set, else from the
     * smallest merged id (the reference's `find(name==target) ??
     * sourceEntities[0]`). Optional columns (`type`, `description`,
@@ -122,9 +125,10 @@ object GraphOps {
     * present.
     *
     * Scale: one groupBy over the (tiny) merged-node set, and for edges a
-    * literal-isin projection + natural-key dedup — the dedup groupBy is the
-    * only data-scale shuffle, and it keys on (src, type, dst), which is
-    * exactly as distributed as the edge population. */
+    * literal-isin split + natural-key dedup over the TOUCHED slice only —
+    * the dedup groupBy + anti-join shuffle scales with the merged nodes'
+    * degree, not the whole edge population (which passes through with no
+    * exchange at all). */
   def mergeNodes(nodes: DataFrame, edges: DataFrame, sources: Seq[String],
       target: String): (DataFrame, DataFrame) = {
     val srcSet = sources.map(lit(_))
@@ -152,35 +156,47 @@ object GraphOps {
     val mergedNode = merged0.groupBy(lit(target).as("id"))
       .agg(count(lit(1)).as("__cnt"), aggs: _*)
       .select(nodes.columns.toIndexedSeq.map(col): _*)
-    val outNodes = nodes.filter(!inSources(col("id")) && col("id") =!= target)
+    // Null-safe keep-filter: a NULL-id node is neither a source nor the
+    // target and must survive (the plain isin predicate evaluates to NULL
+    // and a bare filter would silently drop the row).
+    val outNodes = nodes.filter(!(coalesce(inSources(col("id")), lit(false)) ||
+        col("id") <=> lit(target)))
       .unionByName(mergedNode)
 
-    // Edge redirect + self-loop skip + natural-key dedup. Untouched edges
-    // win ties against redirected ones (prio 0 < 1), then the smallest
-    // attr tuple — deterministic where the reference's first-seen depended
-    // on iteration order.
+    // Edge redirect + self-loop skip + SCOPED natural-key dedup: only the
+    // redirected edges (an endpoint in the merged set) dedup — against each
+    // other, then against the untouched edges they now collide with (the
+    // existing edge wins; the redirected copy is the duplicate the reference
+    // skips re-adding, createFlowRAG.ts:108-118). The untouched population
+    // passes through VERBATIM — a global dedup would silently collapse
+    // pre-existing duplicate edges between nodes unrelated to the merge.
+    // Scale: the dedup shuffle now covers only the touched slice, not the
+    // whole edge population.
     val attrCols = edges.columns.filterNot(c => c == "src" || c == "dst").toSeq
     val keyCols = Seq("src", "dst") ++ (if (has(edges, "type")) Seq("type") else Nil)
-    val redirected = edges
-      .withColumn("__prio",
-        when(inSources(col("src")) || inSources(col("dst")), 1).otherwise(0))
+    // coalesce: a NULL endpoint is not in the merged set (isin yields NULL
+    // there) — such edges are untouched, not dropped from both branches.
+    val touched = coalesce(inSources(col("src")) || inSources(col("dst")), lit(false))
+    val untouched = edges.filter(!touched)
+    val redirected = edges.filter(touched)
       .withColumn("src", when(inSources(col("src")), target).otherwise(col("src")))
       .withColumn("dst", when(inSources(col("dst")), target).otherwise(col("dst")))
-      // Null-safe: a dangling edge (NULL endpoint) is not a self-loop and
-      // must survive the merge untouched.
+      // Null-safe: a dangling redirected edge (NULL far endpoint) is not a
+      // self-loop.
       .filter(!(col("src") <=> col("dst")))
     val carried = attrCols.filterNot(keyCols.contains)
-    val outEdges =
-      if (carried.isEmpty)
-        redirected.select(keyCols.map(col): _*).distinct()
-          .select(edges.columns.toIndexedSeq.map(col): _*)
-      else redirected
-        .groupBy(keyCols.map(col): _*)
-        .agg(min_by(struct(carried.map(col): _*),
-          struct((col("__prio") +: carried.map(col)): _*)).as("__a"))
-        .select((keyCols.map(col) ++ carried.map(c => col(s"__a.$c"))): _*)
+    val dedupedNew =
+      (if (carried.isEmpty) redirected.select(keyCols.map(col): _*).distinct()
+       else redirected
+         .groupBy(keyCols.map(col): _*)
+         // Smallest attr tuple wins — deterministic where the reference's
+         // first-seen depended on iteration order.
+         .agg(min_by(struct(carried.map(col): _*),
+           struct(carried.map(col): _*)).as("__a"))
+         .select((keyCols.map(col) ++ carried.map(c => col(s"__a.$c"))): _*))
+        .join(untouched.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
         .select(edges.columns.toIndexedSeq.map(col): _*)
-    (outNodes, outEdges)
+    (outNodes, untouched.unionByName(dedupedNew))
   }
 
   /** G4-style cascade: edges incident to deleted nodes go too. */

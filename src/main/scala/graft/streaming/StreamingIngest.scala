@@ -39,7 +39,19 @@ object StreamingIngest {
     * is serial), so <= watermark means already committed. */
   private def alreadyCommitted(t: GraftTable, checkpointDir: String,
       batchId: Long): Boolean =
-    t.meta.properties.get(watermarkKey(checkpointDir)).exists(_.toLong >= batchId)
+    t.meta.properties.get(watermarkKey(checkpointDir)) match {
+      case Some(w) => w.toLong >= batchId
+      case None =>
+        // Upgrade path: tables whose streaming history predates the
+        // properties watermark carry only per-snapshot summary markers. A
+        // batch redelivered across that boundary must still be recognized,
+        // so fall back to the snapshot-summary scan (one-time cost; the next
+        // successful append writes the watermark property and this branch
+        // never runs again for the checkpoint).
+        t.meta.snapshots.exists(s =>
+          s.summary.get(CheckpointKey).contains(checkpointDir) &&
+            s.summary.get(BatchIdKey).exists(_.toLong >= batchId))
+    }
 
   private[graft] def idempotentAppend(t: GraftTable, batch: DataFrame,
       checkpointDir: String, batchId: Long): Boolean = {

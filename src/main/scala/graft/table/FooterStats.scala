@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
  * which doubled the per-bin job count during compaction and dominated small
  * rewrites (measured: ~2x fewer Spark jobs after the switch).
  *
- * String maxima are widened by appending ￿ when they hit the footer
- * truncation length, so pruning stays sound even on truncated statistics.
+ * String maxima that hit the footer truncation length are DROPPED (the file
+ * becomes unbounded above on that column), so pruning stays sound even on
+ * truncated statistics. All string extrema comparisons here and downstream
+ * ([[Utf8Ord]]) use unsigned UTF-8 byte order — Parquet's and Spark's own.
  */
 object FooterStats {
 
@@ -73,7 +75,7 @@ object FooterStats {
         if (unbounded.contains(c)) c -> ColStats(None, None, 0L)
         else {
           val mn = mins.get(c).map(render)
-          val mx = maxs.get(c).map(render).map(widenIfTruncated)
+          val mx = maxs.get(c).map(render).flatMap(dropIfTruncated)
           c -> ColStats(mn, mx, nulls.getOrElse(c, 0L))
         }
       }.toMap
@@ -92,19 +94,25 @@ object FooterStats {
       case (x: java.lang.Double, y: java.lang.Double) => pick(x.doubleValue, y.doubleValue)
       case (x: java.lang.Float, y: java.lang.Float) => pick(x.floatValue, y.floatValue)
       case (x: Binary, y: Binary) =>
-        // Compare in the RENDERED (UTF-16 String) order: PruneFilter's
-        // mayMatch compares manifest strings with Scala String ordering, so
-        // the CROSS-BLOCK pick must use the same ordering. Soundness caveat:
-        // the per-block extrema Parquet recorded were chosen in unsigned-
-        // UTF-8-byte order, which agrees with UTF-16 order only for BMP
-        // strings — a block whose true UTF-16 minimum is a supplementary-
-        // plane string may not surface it in its stats, so EqString pruning
-        // assumes BMP-only string columns (true of the engine's image_id /
-        // fmt / caption fixtures; non-BMP data would need byte-order
-        // comparison end-to-end through PruneFilter).
-        if ((x.toStringUsingUTF8.compareTo(y.toStringUsingUTF8) <= 0) == min) x else y
+        // Pick in unsigned UTF-8 byte order — the SAME ordering Parquet used
+        // for its per-block extrema and PruneFilter.mayMatch (via Utf8Ord)
+        // now uses for manifest comparisons, so the stack is sound for ALL
+        // of Unicode. (The earlier rendered-UTF-16 pick agreed only on BMP
+        // strings; supplementary-plane keys could be unsoundly pruned.)
+        if ((cmpBytes(x.getBytes, y.getBytes) <= 0) == min) x else y
       case (x, _) => x
     }
+  }
+
+  private def cmpBytes(x: Array[Byte], y: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   private def render(v: Any): String = v match {
@@ -112,6 +120,11 @@ object FooterStats {
     case other => other.toString
   }
 
-  private def widenIfTruncated(s: String): String =
-    if (s.getBytes("UTF-8").length >= TruncationGuard) s + "￿" else s
+  /** A max that hit the footer truncation length is a PREFIX of the real
+    * maximum and therefore not an upper bound — drop it (unbounded above;
+    * PruneFilter treats one-sided stats as open on the missing side). The
+    * earlier widen-by-appending-U+FFFF was unsound in byte order, where
+    * supplementary-plane code points sort ABOVE U+FFFF. */
+  private def dropIfTruncated(s: String): Option[String] =
+    if (s.getBytes("UTF-8").length >= TruncationGuard) None else Some(s)
 }

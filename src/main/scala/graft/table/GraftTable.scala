@@ -26,6 +26,34 @@ case class LeString(col: String, hi: String) extends PruneFilter
 case class GeLong(col: String, lo: Long) extends PruneFilter
 case class LeLong(col: String, hi: Long) extends PruneFilter
 
+/** Unsigned UTF-8 byte-order string comparison — the ONE ordering the whole
+  * stats-pruning stack agrees on. Spark's min/max aggregates compare
+  * UTF8Strings byte-wise, Parquet's per-block string extrema are chosen in
+  * unsigned byte order, and the scan-side residual filters (`col >= lit`)
+  * evaluate in UTF8String order too. Scala `String` comparison (UTF-16 code
+  * units) disagrees for supplementary-plane code points — surrogates sort
+  * BELOW U+E000..U+FFFF in UTF-16 but ABOVE all of the BMP in UTF-8 — so a
+  * UTF-16 comparison against byte-ordered extrema can unsoundly prune a file
+  * that contains a matching non-BMP key (a MERGE would then silently skip
+  * the update and re-insert the key as a duplicate). Every comparison of a
+  * manifest string stat goes through here. */
+object Utf8Ord {
+  def cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  def leq(a: String, b: String): Boolean = cmp(a, b) <= 0
+  def geq(a: String, b: String): Boolean = cmp(a, b) >= 0
+}
+
 object PruneFilter {
   /** Residual row-level Column for a prune filter (applied on the scan). */
   def toColumn(f: PruneFilter): Column = f match {
@@ -39,25 +67,32 @@ object PruneFilter {
     case LeLong(c, h)         => col(c) <= lit(h)
   }
 
-  /** Can `file` possibly contain rows matching `f`? Missing stats => keep. */
+  /** Can `file` possibly contain rows matching `f`? Missing stats => keep.
+    * String bounds compare in unsigned UTF-8 byte order ([[Utf8Ord]]) —
+    * the same ordering that produced both sides. One-sided stats (the
+    * truncation guard drops an untrustworthy max) leave the missing side
+    * unbounded rather than falling through to the all-null check. */
   def mayMatch(file: DataFileMeta, f: PruneFilter): Boolean = {
     val st = file.stats.get(f.col)
     st match {
       case None => true
       case Some(s) =>
-        (s.min, s.max) match {
-          case (Some(mn), Some(mx)) =>
-            f match {
-              case EqString(_, v)       => mn <= v && v <= mx
-              case EqLong(_, v)         => mn.toLong <= v && v <= mx.toLong
-              case RangeLong(_, l, h)   => mn.toLong <= h && mx.toLong >= l
-              case RangeString(_, l, h) => mn <= h && mx >= l
-              case GeString(_, l)       => mx >= l
-              case LeString(_, h)       => mn <= h
-              case GeLong(_, l)         => mx.toLong >= l
-              case LeLong(_, h)         => mn.toLong <= h
-            }
-          case _ => s.nullCount < file.rowCount // all-null file only matches IS NULL
+        val mn = s.min
+        val mx = s.max
+        if (mn.isEmpty && mx.isEmpty)
+          s.nullCount < file.rowCount // all-null file only matches IS NULL
+        else {
+          import Utf8Ord.{geq, leq}
+          f match {
+            case EqString(_, v)       => mn.forall(leq(_, v)) && mx.forall(geq(_, v))
+            case EqLong(_, v)         => mn.forall(_.toLong <= v) && mx.forall(_.toLong >= v)
+            case RangeLong(_, l, h)   => mn.forall(_.toLong <= h) && mx.forall(_.toLong >= l)
+            case RangeString(_, l, h) => mn.forall(leq(_, h)) && mx.forall(geq(_, l))
+            case GeString(_, l)       => mx.forall(geq(_, l))
+            case LeString(_, h)       => mn.forall(leq(_, h))
+            case GeLong(_, l)         => mx.forall(_.toLong >= l)
+            case LeLong(_, h)         => mn.forall(_.toLong <= h)
+          }
         }
     }
   }

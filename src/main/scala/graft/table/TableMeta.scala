@@ -110,11 +110,13 @@ object PartitionSpec {
       case EqLong(_, v) => applyTransform(spec, v.toString).forall(_ == pv)
       // String ranges/bounds prune only under identity (a truncate[N] value
       // stands for a numeric interval, where lexicographic bounds are
-      // unsound).
+      // unsound). Comparisons in UTF-8 byte order — same as the scan-side
+      // residual filter and the file-level stats prune (Utf8Ord scaladoc).
       case RangeString(_, lo, hi) =>
-        spec.transform != "identity" || (pv >= lo && pv <= hi)
-      case GeString(_, lo) => spec.transform != "identity" || pv >= lo
-      case LeString(_, hi) => spec.transform != "identity" || pv <= hi
+        spec.transform != "identity" ||
+          (Utf8Ord.geq(pv, lo) && Utf8Ord.leq(pv, hi))
+      case GeString(_, lo) => spec.transform != "identity" || Utf8Ord.geq(pv, lo)
+      case LeString(_, hi) => spec.transform != "identity" || Utf8Ord.leq(pv, hi)
       case RangeLong(_, lo, hi) =>
         pvLong.forall(p => p <= hi && p + width - 1 >= lo)
       case GeLong(_, lo) => pvLong.forall(p => p + width - 1 >= lo)

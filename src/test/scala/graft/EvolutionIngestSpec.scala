@@ -234,4 +234,30 @@ class EvolutionIngestSpec extends GraftSuite {
     assert(queries.nonEmpty)
     assert(queries.exists(_.durationMs >= 0))
   }
+
+  test("metrics tail: bounded recent-events view returns the N latest in ts order") {
+    val root = TestFixtures.workRoot.resolve("metrics-tail").toString
+    // Two interleaved per-process files with explicit strictly-increasing ts
+    // (recordJob stamps wall-clock, which collides within one ms) — the tail
+    // must merge across files, not just truncate one.
+    val d = Metrics.dir(root)
+    java.nio.file.Files.createDirectories(d)
+    def jsonl(name: String, is: Seq[Int]): Unit =
+      java.nio.file.Files.write(d.resolve(name), is.map(i =>
+        graft.table.TableJson.write(Metrics.QueryEvent(
+          1000L + i, "job", s"job-$i", i.toLong, None, None, None,
+          Map("i" -> i.toString)))).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    jsonl("metrics-1.jsonl", (1 to 50 by 2))
+    jsonl("metrics-2.jsonl", (2 to 50 by 2))
+    val all = Metrics.events(root)
+    assert(all.size == 50)
+    val tail = Metrics.events(root, tail = Some(10))
+    assert(tail.size == 10)
+    assert(tail.map(_.detail("i").toInt).toSet == (41 to 50).toSet,
+      s"tail should keep the 10 most recent: ${tail.map(_.name)}")
+    assert(tail == tail.sortBy(_.ts), "tail is ts-ordered")
+    assert(Metrics.events(root, tail = Some(0)).isEmpty)
+    assert(Metrics.events(root, tail = Some(500)).size == 50)
+  }
 }

@@ -164,6 +164,28 @@ class OperatorsSpec extends GraftSuite {
     assert(es == Set(("a", "c", "knows", 0.9), ("c", "a", "cites", 0.7)))
   }
 
+  test("mergeNodes: dedup is scoped to redirected edges; unrelated duplicates and NULL-id nodes survive") {
+    val nodes = Seq(("a", "x"), ("b", "y"), ("c", "z"), ("d", "w"),
+      (null.asInstanceOf[String], "anon")).toDF("id", "description")
+    val edges = Seq(
+      ("c", "d", "knows"), // pre-existing duplicate pair between
+      ("c", "d", "knows"), //   nodes UNRELATED to the merge: both survive
+      ("b", "d", "knows"), // redirects to (a, d, knows)
+      ("b", "d", "knows")) // ... duplicate redirected copy: deduped
+      .toDF("src", "dst", "type")
+    val (n2, e2) = GraphOps.mergeNodes(nodes, edges, Seq("b"), "a")
+    // NULL-id node is neither source nor target — must not be dropped by a
+    // null-valued isin predicate.
+    assert(n2.filter(col("id").isNull).count() == 1)
+    assert(n2.count() == 4) // a(merged), c, d, null
+    val es = e2.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(es.count(_ == ("c", "d", "knows")) == 2,
+      s"unrelated duplicate edges must pass through verbatim: ${es.toSeq}")
+    assert(es.count(_ == ("a", "d", "knows")) == 1,
+      s"redirected copies dedup to one: ${es.toSeq}")
+    assert(es.length == 3)
+  }
+
   test("extraction prompt template mirrors the reference's structure") {
     import graft.operators.TextOps.{extractionPrompt, extractionPromptParts, PromptSchema}
     val plain = extractionPromptParts(Nil, PromptSchema(Seq("A"), Seq("r")))

@@ -258,6 +258,59 @@ class PartitionSpecSpec extends GraftSuite {
       "shaping must not lose rows across partition values")
   }
 
+  test("overflow block is slim unless the job can change the partition column") {
+    val root = TestFixtures.workRoot.resolve("part-ov-slim").toString
+    val t = GraftTable.create(root, spark,
+      partitionSpec = Some(PartitionSpec("fmt", "identity")))
+    val all = ImageGen.df(spark, 360, seed = 31L, partitions = 4).cache()
+    GraftTable.append(t, all.filter(col("fmt") === "png"), targetFiles = Some(4))
+    GraftTable.append(t, all.filter(col("fmt") === "jpg"), targetFiles = Some(4))
+    all.unpersist()
+    val affected = t.currentFiles
+    val df = spark.read.schema(t.schema).parquet(affected.map(_.absPath(root)): _*)
+    // Tiny target so the full-width overflow would dwarf one task wave.
+    val tgt = 16L * 1024
+    val fullN = math.ceil(affected.map(_.fileSizeBytes).sum.toDouble / tgt).toInt
+    assume(fullN > spark.sparkContext.defaultParallelism * 2,
+      s"fixture too small to observe the cap (fullN=$fullN)")
+    val slim = graft.jobs.Cluster.shapeForCurve(t, affected, df, "zorder", tgt)
+    val wide = graft.jobs.Cluster.shapeForCurve(t, affected, df, "zorder", tgt,
+      partitionMayChange = true)
+    assert(slim.rdd.getNumPartitions < wide.rdd.getNumPartitions,
+      s"slim overflow must cut reducer count: ${slim.rdd.getNumPartitions} vs ${wide.rdd.getNumPartitions}")
+    // An empty-in-the-common-case block must not cost a full extra width:
+    // slim total <= per-value width + one task wave (+1 fencepost).
+    assert(slim.rdd.getNumPartitions <=
+      fullN + spark.sparkContext.defaultParallelism + 2)
+    assert(slim.count() == affected.map(_.rowCount).sum, "no rows lost")
+  }
+
+  test("global cluster pools partition-value units: all values commit, layout + pruning intact") {
+    val root = TestFixtures.workRoot.resolve("part-pooled-global").toString
+    val t = GraftTable.create(root, spark,
+      partitionSpec = Some(PartitionSpec("fmt", "identity")))
+    val all = ImageGen.df(spark, 240, seed = 33L, partitions = 4).cache()
+    GraftTable.append(t, all.filter(col("fmt") === "png"), targetFiles = Some(3))
+    GraftTable.append(t, all.filter(col("fmt") === "jpg"), targetFiles = Some(3))
+    all.unpersist()
+    val rows = t.scan().count()
+    val res = graft.jobs.Cluster.run(t, curve = "zorder", mode = "global",
+      targetBytes = 64L * 1024, maxConcurrentGroups = 4)
+    assert(res.snapshot.isDefined)
+    assert(t.scan().count() == rows)
+    // One resumable lineage unit PER partition value, all committed through
+    // the bounded pool (small values overlap instead of serializing).
+    val units = graft.lineage.Lineage.committedUnits(root, res.jobId)
+    assert(units.size == 2, s"one unit per partition value: ${units.keys}")
+    val snap = t.currentSnapshot
+    assert(snap.manifests.flatMap(snap.partitionOfManifest).toSet == Set("png", "jpg"))
+    // Outputs stayed partition-pure through the pooled exchanges, so
+    // manifest-level partition pruning is intact (the deterministic probe;
+    // curve-range pruning quality is covered by the larger fixtures above).
+    assert(t.planManifests(Seq(EqString("fmt", "png"))).size < snap.manifests.size,
+      "partition pruning effective after the pooled global cluster")
+  }
+
   test("RangeString prunes files by string-key stats and manifests under identity only") {
     import graft.table.RangeString
     val f = file(Map("image_id" -> ColStats(Some("img-0010"), Some("img-0020"), 0)))

@@ -76,6 +76,32 @@ class StreamingUpkeepSpec extends GraftSuite {
     assert(t.scan().count() == 60)
   }
 
+  test("legacy streaming table (summary markers, no watermark property): replay across the upgrade boundary is still skipped") {
+    val work = TestFixtures.workRoot.resolve("stream-legacy")
+    val t = GraftTable.create(work.resolve("tbl").toString, spark)
+    val batch = graft.images.ImageGen.df(spark, 15, seed = 91L, partitions = 2)
+    val ckpt = work.resolve("ckpt").toString
+    // Simulate a pre-watermark-scheme commit: batch markers live ONLY in the
+    // snapshot summary (what the old code wrote), no table property.
+    GraftTable.append(t, batch, summary = Map(
+      "stream-batch-id" -> "3", "stream-checkpoint" -> ckpt))
+    assert(t.meta.properties.get(StreamingIngest.watermarkKey(ckpt)).isEmpty)
+    // Redelivery of a legacy-committed batch must be recognized via the
+    // summary-scan fallback, not re-appended as duplicates.
+    assert(!StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 3L))
+    assert(!StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 2L))
+    assert(t.scan().count() == 15)
+    // A marker for a DIFFERENT checkpoint does not mask this one's batches.
+    assert(StreamingIngest.idempotentAppend(t, batch,
+      work.resolve("other-ckpt").toString, batchId = 3L))
+    // New batches append and write the watermark; from then on the O(1)
+    // property path covers the legacy ids too (monotonic batch ids).
+    assert(StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 4L))
+    assert(t.meta.properties.get(StreamingIngest.watermarkKey(ckpt)).contains("4"))
+    assert(!StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 3L))
+    assert(t.scan().count() == 45)
+  }
+
   test("cluster exchange is skew-safe: a hot curve key collapses to one partition, rows survive") {
     val work = TestFixtures.workRoot.resolve("cluster-skew")
     val t = GraftTable.create(work.resolve("tbl").toString, spark)

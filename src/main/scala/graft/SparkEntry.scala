@@ -41,6 +41,11 @@ object SparkEntry {
   private val HybridLocalWeight = 0.3
   /** 59-bit probe constant for q30 (fits the 60-bit md5-prefix signature). */
   private val HammingProbe = 0x5A5A5A5A5A5A5A5L
+  /** q34/q40 IVF centroid training: Lloyd's iterations (fixed so the
+    * unrolled DuckDB oracle replays the fit) and the fixture's vector dims
+    * (oracle-side only; the Spark fit is dims-agnostic). */
+  private val KMeansIters = 3
+  private val KMeansDims = 64
   /** q39 prompt-template fixture (shared by query and oracle builders). */
   private val PromptSchemaFixture = graft.operators.TextOps.PromptSchema(
     Seq("Library", "Algorithm"), Seq("uses", "extends"))
@@ -347,13 +352,14 @@ object SparkEntry {
 
     // IVF ANN scale path (W3 companion to q21's brute force / q22's LSH):
     // vectors are assigned to their nearest centroid (the inverted lists);
-    // the query probes only its nprobe=2 nearest lists. Centroids here are
-    // seed vectors 1..8 (at scale they'd come from an offline k-means; the
-    // inverted-list partitioning is the part that matters). Assignment is
-    // MAP-SIDE: centroids are driver-collected literals folded into one
-    // codegen'd projection — no join, no shuffle; the only exchange is the
-    // final top-k. That is the 10^12-row shape: each partition scans its
-    // rows once against 8 constants.
+    // the query probes only its nprobe=2 nearest lists. Centroids are
+    // TRAINED by the engine's k-means (KMeans.fit: 3 Lloyd's iterations in
+    // fixed-point arithmetic, seeded from vectors 1..8 — deterministic at
+    // any parallelism, so the DuckDB oracle replays the training exactly).
+    // Assignment stays MAP-SIDE: the trained centroids are driver-held
+    // literals folded into one codegen'd projection — no join, no shuffle;
+    // the only exchange is the final top-k. That is the 10^12-row shape:
+    // each partition scans its rows once against 8 constants.
     "q34_ivf_topk" -> ((s, d) => {
       val e = ld(s, d, "embeddings")
       def cosLit(v: Column, cv: Array[Double], scale: Int): Column = {
@@ -363,11 +369,10 @@ object SparkEntry {
             / (sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
                * lit(math.sqrt(cv.map(x => x * x).sum))), scale)
       }
-      val cents = e.filter(col("vec_id").between(1, 8))
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0),
-          r.getSeq[Float](1).map(_.toDouble).toArray))
-        .sortBy(_._1)
+      val cents = graft.operators.KMeans
+        .fit(e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+          initIds = 1L to 8L, iters = KMeansIters)
+        .centroidsDouble.toArray
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       // nprobe=2 probe lists, picked driver-side from the same rounded sims.
@@ -521,6 +526,23 @@ object SparkEntry {
         PromptKnown, PromptSchemaFixture)
       ld(s, d, "documents").select(col("doc_id"),
         length(p).cast("long").as("prompt_len"), md5(p).as("prompt_md5"))
+    }),
+
+    // Offline k-means centroid training for the IVF path (KMeans scaladoc;
+    // reference ANN index build, storage-redis/src/vector-storage.ts:31-46).
+    // Output: every trained centroid component (cid, pos, fixed-point value)
+    // plus the final cluster size — the fixed-point fit is bit-reproducible
+    // at any parallelism, so DuckDB replays the identical 3 Lloyd's
+    // iterations and the oracle compares the TRAINING itself, not a summary.
+    "q40_kmeans" -> ((s, d) => {
+      import s.implicits._
+      val e = ld(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      val r = graft.operators.KMeans.fit(e, "embedding", "vec_id",
+        initIds = 1L to 8L, iters = KMeansIters)
+      r.centroids.flatMap { case (cid, cv) =>
+        cv.zipWithIndex.map { case (c, i) =>
+          (cid, (i + 1).toLong, c, r.sizes.getOrElse(cid, 0L)) }
+      }.toDF("cid", "pos", "c", "n")
     }))
 
   // --------------------------------------------------------------- oracles
@@ -532,6 +554,41 @@ object SparkEntry {
     val simhashVal = (0 until 16).map(b =>
       s"(case when s$b > 0 then ${1L << b} else 0 end)").mkString(" + ")
     val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    // q34/q40: the KMeans.fit unrolled relationally — KMeansIters
+    // assignment/update rounds in the SAME 1e-6 fixed-point space as the
+    // Spark fit (integer distances and sums are exact, so reduction order
+    // cannot matter; the single mean division is one IEEE double op + SQL
+    // ROUND in both engines) — the oracle replays the training bit-for-bit.
+    val kmeansCtes: String = {
+      val base =
+        s"""ex AS (
+           |  SELECT vec_id, i,
+           |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+           |  FROM embeddings, (SELECT unnest(generate_series(1, $KMeansDims)) AS i) g
+           |  WHERE vec_id <> 0),
+           |c0 AS (
+           |  SELECT vec_id AS cid, i, v AS c FROM ex WHERE vec_id BETWEEN 1 AND 8)""".stripMargin
+      val iters = (1 to KMeansIters).map { k =>
+        s"""a$k AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+           |    FROM (
+           |      SELECT e.vec_id, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS d
+           |      FROM ex e JOIN c${k - 1} c ON e.i = c.i
+           |      GROUP BY e.vec_id, c.cid))
+           |  WHERE rn = 1),
+           |s$k AS (
+           |  SELECT a.cid, e.i, sum(e.v) AS sv, count(*) AS cnt
+           |  FROM ex e JOIN a$k a USING (vec_id) GROUP BY a.cid, e.i),
+           |c$k AS (
+           |  SELECT p.cid, p.i,
+           |    coalesce(CAST(round(CAST(s.sv AS DOUBLE) / s.cnt) AS BIGINT), p.c) AS c
+           |  FROM c${k - 1} p LEFT JOIN s$k s ON s.cid = p.cid AND s.i = p.i)""".stripMargin
+      }
+      (base +: iters).mkString(",\n")
+    }
+    val kmFinal = s"c$KMeansIters"
     Map(
       "q01_pricing_agg" ->
         """SELECT l_returnflag, l_linestatus,
@@ -730,19 +787,22 @@ object SparkEntry {
           |    source || '/' || doc_id)), '+/', '-_'), '=+$', '') AS doc_uid
           |FROM documents""".stripMargin,
       "q34_ivf_topk" ->
-        // IVF restated relationally: centroid sims rounded to 6 (same as the
-        // Spark assignment), argmax via row_number with the identical
-        // (sim DESC, cid ASC) tie-break; probe lists = 2 nearest centroids
-        // to the query; final cos rounded to 4 from the RAW dot product.
-        """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-          |cents AS (SELECT vec_id AS cid, embedding AS cv
-          |          FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        // IVF restated relationally over the TRAINED centroids (the kmeans
+        // CTE chain replays KMeans.fit exactly): centroid sims rounded to 6
+        // (same as the Spark assignment), argmax via row_number with the
+        // identical (sim DESC, cid ASC) tie-break; probe lists = 2 nearest
+        // centroids to the query; final cos rounded to 4 from the RAW dot.
+        s"""WITH $kmeansCtes,
+          |cl AS (
+          |  SELECT cid, list(CAST(c AS DOUBLE) / 1000000 ORDER BY i) AS cv
+          |  FROM $kmFinal GROUP BY cid),
+          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
           |sims AS (
           |  SELECT e.vec_id, e.embedding, c.cid,
           |    round(list_dot_product(e.embedding, c.cv) /
           |      (sqrt(list_dot_product(e.embedding, e.embedding)) *
           |       sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
-          |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+          |  FROM embeddings e CROSS JOIN cl c WHERE e.vec_id <> 0),
           |assign AS (
           |  SELECT vec_id, embedding, cid AS bucket FROM (
           |    SELECT *, row_number() OVER (
@@ -754,7 +814,7 @@ object SparkEntry {
           |      round(list_dot_product(q.qv, c.cv) /
           |        (sqrt(list_dot_product(q.qv, q.qv)) *
           |         sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
-          |    FROM cents c, q)
+          |    FROM cl c, q)
           |  ORDER BY sim DESC, cid ASC LIMIT 2)
           |SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS bucket,
           |  round(list_dot_product(a.embedding, q.qv) /
@@ -762,6 +822,23 @@ object SparkEntry {
           |     sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
           |FROM assign a, q WHERE a.bucket IN (SELECT cid FROM probes)
           |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+      "q40_kmeans" ->
+        // The trained centroids themselves + final cluster sizes: the final
+        // assignment (af) uses the same (d ASC, cid ASC) argmin as the fit.
+        s"""WITH $kmeansCtes,
+          |af AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid, row_number() OVER (
+          |      PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+          |    FROM (
+          |      SELECT e.vec_id, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS d
+          |      FROM ex e JOIN $kmFinal c ON e.i = c.i
+          |      GROUP BY e.vec_id, c.cid))
+          |  WHERE rn = 1),
+          |sz AS (SELECT cid, count(*) AS n FROM af GROUP BY cid)
+          |SELECT c.cid, CAST(c.i AS BIGINT) AS pos, c.c,
+          |  CAST(coalesce(sz.n, 0) AS BIGINT) AS n
+          |FROM $kmFinal c LEFT JOIN sz USING (cid)""".stripMargin,
       "q35_embed_neardup" -> {
         // Identical multi-band restatement: per-band 8-sign-bit bucket, same
         // bit assignment (dim band*8+j+1 -> bit 2^j) as the Spark side.

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed Lloyd's k-means over an embedding column — the offline
+ * centroid trainer for the IVF ANN path (q34). The reference's ANN backends
+ * train their index structure at build time (storage-redis/src/
+ * vector-storage.ts:31-46, storage-opensearch/src/vector-storage.ts:24-39);
+ * this is the lakehouse analog: train the inverted-list partitioner once,
+ * then assignment stays a map-side literal-folded projection.
+ *
+ * Design:
+ *  - Assignment is MAP-SIDE: the k centroids are driver-held literals folded
+ *    into one codegen'd projection (k * dims constants) — no join, no
+ *    broadcast variable, no shuffle. The only exchange per iteration is the
+ *    re-center partial aggregation (k * dims groups), and only k * dims
+ *    (sum, count) rows ever reach the driver — bounded state, independent of
+ *    data scale. That is the 10^12-row shape: each partition scans its rows
+ *    once per iteration against constants.
+ *  - FIXED-POINT arithmetic (1e-6 resolution): vectors are scaled to longs
+ *    once; distances and re-center sums are exact integer math, so the fit
+ *    is BIT-REPRODUCIBLE at any partition count / cluster size — a
+ *    floating-point sum's value depends on reduction order, which would make
+ *    "same data, same centroids" a property of the cluster layout instead of
+ *    the algorithm. Reproducibility is what lets a DuckDB oracle replay the
+ *    exact training (SparkEntry q40) and what makes index rebuilds stable
+ *    across re-partitioning. Resolution cost: ~1e-6 per component, far below
+ *    the noise floor of any learned embedding.
+ *  - Empty clusters keep their previous centroid (deterministic, no
+ *    re-seeding randomness).
+ *
+ * At 100 TB one trains on a bounded sample (pass a sampled df — e.g.
+ * `df.sample(frac, seed)`); the trained centroids then drive full-scale
+ * assignment exactly as q34 does.
+ */
+object KMeans {
+
+  /** Fixed-point scale: 1e6 (micro-units). */
+  val Scale = 1000000L
+
+  /** array<float|double> -> scaled long array (the fit's working space).
+    * round-half-away-from-zero, matching SQL ROUND in Spark and DuckDB. */
+  def scaled(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * lit(Scale.toDouble)).cast("long"))
+
+  /** Nearest-centroid id by squared distance in scaled space: one
+    * literal-folded codegen'd projection (struct-min gives argmin with
+    * deterministic smallest-cid tie-break). */
+  def assignScaled(vs: Column, cents: Seq[(Long, Array[Long])]): Column = {
+    require(cents.nonEmpty, "no centroids")
+    val structs = cents.map { case (cid, cv) =>
+      struct(
+        aggregate(
+          zip_with(vs, array(cv.toIndexedSeq.map(lit(_)): _*),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, d2) => acc + d2).as("d"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(structs: _*)).getField("cid")
+  }
+
+  case class Result(
+      centroids: Seq[(Long, Array[Long])], // (cid, scaled components)
+      sizes: Map[Long, Long], // cluster sizes under the FINAL centroids
+      iters: Int) {
+    /** Centroids in original (double) space, for cosine/IVF consumers. */
+    def centroidsDouble: Seq[(Long, Array[Double])] =
+      centroids.map { case (cid, cv) => (cid, cv.map(_.toDouble / Scale)) }
+  }
+
+  /** SQL-ROUND (half away from zero) of the exact mean — the one
+    * driver-side arithmetic step, kept identical to what `round(CAST(sum AS
+    * DOUBLE) / n)` computes in Spark SQL and DuckDB so oracles can replay
+    * the fit. */
+  private def meanRounded(sum: Long, n: Long): Long =
+    java.math.BigDecimal.valueOf(sum.toDouble / n)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Lloyd's iterations as DataFrame aggregations. `initIds`: the rows whose
+    * `idCol` matches seed the centroids (deterministic init — k-means|| adds
+    * randomness that breaks replayability; callers pick spread seeds). The
+    * returned cids ARE the init ids. */
+  def fit(df: DataFrame, vecCol: String, idCol: String, initIds: Seq[Long],
+      iters: Int = 3): Result = {
+    val scaledDf = df
+      .select(col(idCol).cast("long").as("__id"), scaled(col(vecCol)).as("__v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Long, Array[Long])] = scaledDf
+        .filter(col("__id").isin(initIds.map(Long.box): _*))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .toSeq.sortBy(_._1)
+      require(cents.size == initIds.distinct.size,
+        s"init ids missing from data: found ${cents.map(_._1)} of $initIds")
+      for (_ <- 1 to iters) {
+        // Re-center: explode to (cid, pos, x), partial-aggregated sums —
+        // k * dims result rows, exact long arithmetic.
+        // withColumn BEFORE the generator select: a posexplode in the same
+        // projection strips the argmin struct's field aliases during the
+        // Generate rewrite (getField("cid") then fails on col1/col2).
+        val sums = scaledDf
+          .withColumn("__cid", assignScaled(col("__v"), cents))
+          .select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy(col("__cid"), col("__pos"))
+          .agg(sum(col("__x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byCid = sums.groupBy(_.getLong(0))
+        cents = cents.map { case (cid, old) =>
+          byCid.get(cid) match {
+            case None => (cid, old) // empty cluster: centroid carries over
+            case Some(rows) =>
+              val nv = old.clone()
+              rows.foreach { r =>
+                nv(r.getInt(1)) = meanRounded(r.getLong(2), r.getLong(3))
+              }
+              (cid, nv)
+          }
+        }
+      }
+      val sizes = scaledDf
+        .select(assignScaled(col("__v"), cents).as("__cid"))
+        .groupBy(col("__cid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Result(cents, sizes, iters)
+    } finally { scaledDf.unpersist(); () }
+  }
+}

@@ -41,7 +41,10 @@ object SubmitBench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .config("spark.shuffle.spill.compress",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
-      .config("spark.reducer.maxSizeInFlight", "96m")
+      // Fetch concurrency A/B knob for the exchange-reduce attribution
+      // (BENCH/BASELINE.md §4): default 96m; SPARK_GRAFT_MAX_SIF overrides.
+      .config("spark.reducer.maxSizeInFlight",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SIF", "96m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // defaultParallelism is 2 until executors register; for

@@ -27,37 +27,47 @@ object Bench {
     // One warm-up action so JIT/classloading doesn't tax the first query.
     scala.util.Try(spark.read.parquet(s"$sfDir/nation.parquet").count())
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val times = scala.collection.mutable.Map[String, List[Double]]()
+    val times = scala.collection.mutable.Map[String, List[(Double, Double)]]()
     // A failed trial must NOT contribute a timing: min-over-trials would
     // report the (truncated) throw-path time as a legitimate fast number and
     // the JSON would carry no hint. Failures go to `err` instead; a query
     // with zero successful trials reports -1.
     val errs = scala.collection.mutable.Map[String, String]()
-    for (_ <- 1 to Trials; name <- names) {
+    for (trial <- 1 to Trials; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        times(name) = times.getOrElse(name, Nil) :+ dt
+        times(name) = times.getOrElse(name, Nil) :+ (trial.toDouble, dt)
       } catch {
         case e: Throwable =>
           errs(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
       }
     }
-    def fmtMap(sel: List[Double] => Double): String =
+    def fmtMap(sel: List[(Double, Double)] => Option[Double]): String =
       names.map { n =>
-        val v = times.get(n).filter(_.nonEmpty).map(sel)
+        val v = times.get(n).filter(_.nonEmpty).flatMap(sel)
         "\"" + n + "\":" + v.map(x => f"$x%.3f").getOrElse("-1")
       }.mkString("{", ",", "}")
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", " ")
+    // JSON-string escape incl. ALL control chars (exception messages carry
+    // tabs/CRs from plan fragments; a raw control char breaks the
+    // line-level JSON parse the err field exists to serve).
+    def esc(s: String) = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
     val errJson = names.map(n =>
       "\"" + n + "\":" + errs.get(n).map(m => "\"" + esc(m) + "\"").getOrElse("null"))
       .mkString("{", ",", "}")
-    val qs = fmtMap(_.min)
-    val cold = fmtMap(_.head)
-    val total = names.flatMap(n => times.get(n).filter(_.nonEmpty).map(_.min)).sum
+    val qs = fmtMap(ts => Some(ts.map(_._2).min))
+    // cold = the FIRST-trial time only: if trial 1 failed, a later (warm)
+    // success must not masquerade as the cold number — report -1 instead.
+    val cold = fmtMap(_.find(_._1 == 1.0).map(_._2))
+    val total = names.flatMap(n => times.get(n).filter(_.nonEmpty)
+      .map(_.map(_._2).min)).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"trials":$Trials,"action":"noop","cold":$cold,"err":$errJson,"sf":"$sfDir","cpus":$cpus}"""
     println(json)

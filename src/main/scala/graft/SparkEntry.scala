@@ -961,7 +961,9 @@ object SparkEntry {
           |newe AS (
           |  SELECT r.src, r.dst, r.type FROM red r
           |  WHERE NOT EXISTS (SELECT 1 FROM untouched u
-          |    WHERE u.src = r.src AND u.dst = r.dst AND u.type = r.type)),
+          |    WHERE u.src IS NOT DISTINCT FROM r.src
+          |      AND u.dst IS NOT DISTINCT FROM r.dst
+          |      AND u.type IS NOT DISTINCT FROM r.type)),
           |oute AS (
           |  SELECT * FROM untouched UNION ALL SELECT * FROM newe)
           |SELECT m.id, m.type, md5(m.description) AS desc_md5,

@@ -153,7 +153,13 @@ object Cluster {
             out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum,
             (System.nanoTime() - t0) / 1000000))
           } }
-          Await.result(Future.sequence(fs), Duration.Inf)
+          // On a failed unit, stop QUEUED units from starting (shutdownNow)
+          // before rethrowing — otherwise they keep running as zombies and
+          // race a caller's immediate lineage-resume retry. In-flight Spark
+          // jobs finish their current unit (their commitUnit is idempotent
+          // and the retry skips committed units).
+          try Await.result(Future.sequence(fs), Duration.Inf)
+          catch { case e: Throwable => pool.shutdownNow(); throw e }
         } finally pool.shutdown()
         Lineage.committedUnits(t.root, jid).values.flatMap(_.filesOut)
           .toSeq.sortBy(_.path)
@@ -194,7 +200,9 @@ object Cluster {
                 (System.nanoTime() - t0) / 1000000))
             }
           }
-          Await.result(Future.sequence(fs), Duration.Inf)
+          // Same queued-unit cancellation as global mode (see above).
+          try Await.result(Future.sequence(fs), Duration.Inf)
+          catch { case e: Throwable => pool.shutdownNow(); throw e }
         } finally pool.shutdown()
         Lineage.committedUnits(t.root, jid).values.flatMap(_.filesOut).toSeq.sortBy(_.path)
       case other => throw new IllegalArgumentException(s"unknown mode: $other")

@@ -181,7 +181,26 @@ object ExpireSnapshots {
         retainSet.contains(s.snapshotId) || !known.contains(s.snapshotId))
       require(cur.currentSnapshotId.forall(id => keep.exists(_.snapshotId == id)),
         "concurrent commit moved the current snapshot to an id this expire would drop")
-      val nm: TableMetadata = cur.copy(snapshots = keep)
+      // Legacy streaming idempotence markers live ONLY in snapshot
+      // summaries on tables written before the properties watermark;
+      // deleting those snapshots would reopen the duplicate window for a
+      // batch redelivered across the upgrade boundary. Fold the max batch
+      // id per checkpoint into the watermark properties in the SAME CAS
+      // (properties survive expiry; StreamingIngest checks them first).
+      val keepIds = keep.map(_.snapshotId).toSet
+      val legacyWm: Map[String, String] = cur.snapshots
+        .filterNot(s => keepIds.contains(s.snapshotId))
+        .flatMap(s => for {
+          ck <- s.summary.get(graft.streaming.StreamingIngest.CheckpointKey)
+          bid <- s.summary.get(graft.streaming.StreamingIngest.BatchIdKey)
+        } yield (graft.streaming.StreamingIngest.watermarkKey(ck), bid.toLong))
+        .groupBy(_._1)
+        .map { case (k, vs) =>
+          k -> math.max(vs.map(_._2).max,
+            cur.properties.get(k).map(_.toLong).getOrElse(Long.MinValue)).toString
+        }
+      val nm: TableMetadata = cur.copy(snapshots = keep,
+        properties = cur.properties ++ legacyWm)
       committed = MetaIO.tryCommit(t.root, v, nm)
       if (attempts > 20) throw new IllegalStateException("expire: CAS contention")
     }

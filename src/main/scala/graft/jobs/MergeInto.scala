@@ -119,6 +119,10 @@ object MergeInto {
     val keyScan = readKeyed(t, candidates)
       .select(col("image_id"), input_file_name().as("__file"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // try/finally: a merge that throws mid-rewrite (disk full, corrupt
+    // source bytes) must not leak the pinned key-column cache for the rest
+    // of the session.
+    val (affected, updatedFilesMeta, insertFiles) = try {
     val affectedUris = keyScan
       .join(srcKeyed.select("image_id"), Seq("image_id"), "left_semi")
       .select("__file").distinct().collect().map(_.getString(0)).toSet
@@ -186,8 +190,8 @@ object MergeInto {
     // partition coalescing keeps small batches to few files; empty
     // partitions produce no files, and footerStats drops zero-row ones, so
     // no pre-count action is needed (the write IS the emptiness check).
-    val insertFiles = t.writeDataFiles(inserts)
-    keyScan.unpersist()
+    (affected, updatedFilesMeta, t.writeDataFiles(inserts))
+    } finally { keyScan.unpersist(); () }
     val insertedRows = insertFiles.map(_.rowCount).sum
 
     if (affected.isEmpty && insertFiles.isEmpty)

@@ -193,29 +193,37 @@ object Metrics {
     val d = dir(root)
     if (!Files.exists(d)) return Nil
     import scala.jdk.CollectionConverters._
-    val listing = Files.list(d)
-    try {
-      val lines = listing.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".jsonl"))
-        .flatMap { p =>
-          val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
-          Iterator.continually(r.readLine())
-            .takeWhile { l => if (l == null) r.close(); l != null }
-            .filter(_.nonEmpty)
+    val files = {
+      val listing = Files.list(d)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".jsonl")).toList
+      finally listing.close()
+    }
+    val all = scala.collection.mutable.ArrayBuffer[QueryEvent]()
+    // tail = Some(n): min-heap of the n largest timestamps —
+    // O(total log n) time, O(n) memory.
+    val heap = tail.map(n => new java.util.PriorityQueue[QueryEvent](
+      math.max(1, n), java.util.Comparator.comparingLong[QueryEvent](_.ts)))
+    def accept(e: QueryEvent): Unit = (heap, tail) match {
+      case (Some(h), Some(n)) =>
+        if (h.size < n) { h.add(e); () }
+        else if (n > 0 && e.ts > h.peek().ts) { h.poll(); h.add(e); () }
+      case _ => all += e; ()
+    }
+    files.foreach { p =>
+      val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+      try {
+        var line = r.readLine()
+        while (line != null) {
+          // A torn final line (a live writer racing this reader — the
+          // normal state on a continuous-ingest table) must not abort the
+          // read: skip unparseable lines.
+          if (line.nonEmpty)
+            scala.util.Try(TableJson.read[QueryEvent](line)).foreach(accept)
+          line = r.readLine()
         }
-        .map(TableJson.read[QueryEvent])
-      tail match {
-        case None => lines.toSeq.sortBy(_.ts)
-        case Some(n) =>
-          // Min-heap of the n largest timestamps: O(total log n), O(n) memory.
-          val heap = new java.util.PriorityQueue[QueryEvent](
-            math.max(1, n), java.util.Comparator.comparingLong[QueryEvent](_.ts))
-          lines.foreach { e =>
-            if (heap.size < n) heap.add(e)
-            else if (n > 0 && e.ts > heap.peek().ts) { heap.poll(); heap.add(e) }
-          }
-          heap.asScala.toSeq.sortBy(_.ts)
-      }
-    } finally listing.close()
+      } finally r.close()
+    }
+    heap.map(_.asScala.toSeq).getOrElse(all.toSeq).sortBy(_.ts)
   }
 }

@@ -185,17 +185,24 @@ object GraphOps {
       // self-loop.
       .filter(!(col("src") <=> col("dst")))
     val carried = attrCols.filterNot(keyCols.contains)
-    val dedupedNew =
-      (if (carried.isEmpty) redirected.select(keyCols.map(col): _*).distinct()
-       else redirected
-         .groupBy(keyCols.map(col): _*)
-         // Smallest attr tuple wins — deterministic where the reference's
-         // first-seen depended on iteration order.
-         .agg(min_by(struct(carried.map(col): _*),
-           struct(carried.map(col): _*)).as("__a"))
-         .select((keyCols.map(col) ++ carried.map(c => col(s"__a.$c"))): _*))
-        .join(untouched.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-        .select(edges.columns.toIndexedSeq.map(col): _*)
+    val newEdges =
+      if (carried.isEmpty) redirected.select(keyCols.map(col): _*).distinct()
+      else redirected
+        .groupBy(keyCols.map(col): _*)
+        // Smallest attr tuple wins — deterministic where the reference's
+        // first-seen depended on iteration order.
+        .agg(min_by(struct(carried.map(col): _*),
+          struct(carried.map(col): _*)).as("__a"))
+        .select((keyCols.map(col) ++ carried.map(c => col(s"__a.$c"))): _*)
+    // NULL-SAFE anti-join (<=>): groupBy above treats NULL keys as equal
+    // (a redirected dangling edge dedups against its twin), so the
+    // existing-edge check must too — a plain equi-anti-join would let a
+    // redirected (target, NULL, t) duplicate an identical untouched edge.
+    val ut = untouched.select(keyCols.map(c => col(c).as(s"__u_$c")): _*).distinct()
+    val dedupedNew = newEdges
+      .join(ut, keyCols.map(c => newEdges(c) <=> ut(s"__u_$c")).reduce(_ && _),
+        "left_anti")
+      .select(edges.columns.toIndexedSeq.map(col): _*)
     (outNodes, untouched.unionByName(dedupedNew))
   }
 

@@ -22,8 +22,10 @@ import graft.table.GraftTable
  */
 object StreamingIngest {
 
-  private val BatchIdKey = "stream-batch-id"
-  private val CheckpointKey = "stream-checkpoint"
+  // private[graft]: ExpireSnapshots folds these summary markers into the
+  // watermark properties before deleting pre-watermark-scheme snapshots.
+  private[graft] val BatchIdKey = "stream-batch-id"
+  private[graft] val CheckpointKey = "stream-checkpoint"
 
   private[graft] def watermarkKey(checkpointDir: String): String =
     s"stream.batch-watermark.$checkpointDir"
@@ -45,9 +47,10 @@ object StreamingIngest {
         // Upgrade path: tables whose streaming history predates the
         // properties watermark carry only per-snapshot summary markers. A
         // batch redelivered across that boundary must still be recognized,
-        // so fall back to the snapshot-summary scan (one-time cost; the next
-        // successful append writes the watermark property and this branch
-        // never runs again for the checkpoint).
+        // so fall back to the snapshot-summary scan (the next successful
+        // append writes the watermark property, and ExpireSnapshots
+        // backfills it from any summaries it deletes — the markers cannot
+        // be expired away).
         t.meta.snapshots.exists(s =>
           s.summary.get(CheckpointKey).contains(checkpointDir) &&
             s.summary.get(BatchIdKey).exists(_.toLong >= batchId))

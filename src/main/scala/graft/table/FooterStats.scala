@@ -99,20 +99,9 @@ object FooterStats {
         // now uses for manifest comparisons, so the stack is sound for ALL
         // of Unicode. (The earlier rendered-UTF-16 pick agreed only on BMP
         // strings; supplementary-plane keys could be unsoundly pruned.)
-        if ((cmpBytes(x.getBytes, y.getBytes) <= 0) == min) x else y
+        if ((Utf8Ord.cmpBytes(x.getBytes, y.getBytes) <= 0) == min) x else y
       case (x, _) => x
     }
-  }
-
-  private def cmpBytes(x: Array[Byte], y: Array[Byte]): Int = {
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
   }
 
   private def render(v: Any): String = v match {

@@ -38,9 +38,17 @@ case class LeLong(col: String, hi: Long) extends PruneFilter
   * the update and re-insert the key as a duplicate). Every comparison of a
   * manifest string stat goes through here. */
 object Utf8Ord {
-  def cmp(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  // Encode-then-compare (not a char-wise surrogate-adjusted walk): String
+  // .getBytes replaces UNPAIRED surrogates with '?' exactly like
+  // UTF8String.fromString does, so this stays sign-identical to Spark even
+  // on malformed input — worth two small allocations on the (metadata-only)
+  // planning path. Utf8OrdSpec pins the agreement with 20k sampled pairs.
+  def cmp(a: String, b: String): Int =
+    cmpBytes(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** Unsigned lexicographic byte comparison — also the cross-block pick
+    * order for Parquet footer extrema (FooterStats). */
+  def cmpBytes(x: Array[Byte], y: Array[Byte]): Int = {
     var i = 0
     val n = math.min(x.length, y.length)
     while (i < n) {

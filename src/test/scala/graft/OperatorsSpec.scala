@@ -164,6 +164,21 @@ class OperatorsSpec extends GraftSuite {
     assert(es == Set(("a", "c", "knows", 0.9), ("c", "a", "cites", 0.7)))
   }
 
+  test("mergeNodes: redirected dangling edge dedups against an identical untouched NULL-endpoint edge") {
+    val nodes = Seq(("a", "x"), ("b", "y")).toDF("id", "description")
+    val edges = Seq(
+      ("a", null.asInstanceOf[String], "dangling"), // untouched, passes through
+      ("b", null.asInstanceOf[String], "dangling")) // redirects to (a, NULL, dangling)
+      .toDF("src", "dst", "type")
+    // The anti-join must be null-safe: the redirected copy's natural key
+    // equals the untouched edge's (NULL dst and all), so exactly one
+    // (a, NULL, dangling) edge survives — a plain equi-anti-join would
+    // never match on the NULL key and emit a duplicate.
+    val (_, e2) = GraphOps.mergeNodes(nodes, edges, Seq("b"), "a")
+    val es = e2.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(es.toSeq == Seq(("a", null, "dangling")), s"got ${es.toSeq}")
+  }
+
   test("mergeNodes: dedup is scoped to redirected edges; unrelated duplicates and NULL-id nodes survive") {
     val nodes = Seq(("a", "x"), ("b", "y"), ("c", "z"), ("d", "w"),
       (null.asInstanceOf[String], "anon")).toDF("id", "description")

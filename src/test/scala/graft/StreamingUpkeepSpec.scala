@@ -102,6 +102,26 @@ class StreamingUpkeepSpec extends GraftSuite {
     assert(t.scan().count() == 45)
   }
 
+  test("expire backfills legacy stream markers into watermark properties (no reopened duplicate window)") {
+    val work = TestFixtures.workRoot.resolve("stream-legacy-expire")
+    val t = GraftTable.create(work.resolve("tbl").toString, spark)
+    val batch = graft.images.ImageGen.df(spark, 10, seed = 92L, partitions = 1)
+    val ckpt = work.resolve("ckpt").toString
+    // Legacy streaming commit (summary markers only), then an unrelated
+    // commit so the legacy snapshot is expirable.
+    GraftTable.append(t, batch, summary = Map(
+      "stream-batch-id" -> "5", "stream-checkpoint" -> ckpt))
+    GraftTable.append(t, batch)
+    graft.jobs.ExpireSnapshots.run(t, Seq(t.currentSnapshot.snapshotId))
+    assert(t.meta.snapshots.size == 1, "legacy snapshot expired")
+    // The expire folded the marker into the watermark property in the same
+    // CAS — a redelivery after routine upkeep must still be recognized.
+    assert(t.meta.properties.get(StreamingIngest.watermarkKey(ckpt)).contains("5"))
+    assert(!StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 5L))
+    assert(!StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 4L))
+    assert(t.scan().count() == 20)
+  }
+
   test("cluster exchange is skew-safe: a hot curve key collapses to one partition, rows survive") {
     val work = TestFixtures.workRoot.resolve("cluster-skew")
     val t = GraftTable.create(work.resolve("tbl").toString, spark)

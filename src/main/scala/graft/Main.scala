@@ -24,7 +24,7 @@ object Main {
   def main(argv: Array[String]): Unit = {
     if (argv.isEmpty) {
       System.err.println(
-        "verbs: gen | ingest | stats | snapshots | scan | lineage | metrics | compact | cluster | rewrite-manifests | expire | rollback | merge-demo | delete | dedup | transcode | evolve-schema")
+        "verbs: gen | ingest | stats | snapshots | scan | lineage | metrics | compact | cluster | rewrite-manifests | expire | rollback | merge-demo | delete | dedup | transcode | evolve-schema | ivf-demo")
       sys.exit(2)
     }
     val verb = argv.head
@@ -68,6 +68,30 @@ object Main {
           }
           println(s"appended snapshot=${snap.snapshotId} rows=$rows files=${snap.summary("added-files")} bytes=${snap.summary("added-bytes")}" +
             spec.map(sp => s" partitions=${snap.partitionValues.map(_.values.toSet.size).getOrElse(0)} (${sp.column}:${sp.transform})").getOrElse(""))
+        case "ivf-demo" =>
+          // IVF ANN index build + probe end-to-end at <root>: synthetic
+          // planted-cluster vectors -> BuildIvf (k-means + bucket-partitioned
+          // inverted lists) -> one nprobe=1 probe, with pruning shown.
+          import spark.implicits._
+          val n = arg(args, "rows").map(_.toInt).getOrElse(300)
+          val dims = 8
+          val rows = (1 to n).map { i =>
+            val c = (i - 1) % 3
+            val v = (0 until dims).map(d =>
+              ((if (d == c) 10.0 else 0.0) +
+                (((i * 31 + d * 17) % 100) - 50) / 100.0).toFloat)
+            (i.toLong, v)
+          }
+          val df = rows.toDF("vec_id", "embedding")
+          val r = BuildIvf.run(spark, df, "vec_id", "embedding", root,
+            initIds = Seq(1L, 2L, 3L))
+          val probed = r.table.planFiles(Seq(EqLong("bucket",
+            BuildIvf.centroidsOf(r.table).head._1)))
+          val q = Array(10.0) ++ Array.fill(dims - 1)(0.0)
+          val top = BuildIvf.probe(r.table, q, nprobe = 1, topK = 5).collect()
+          println(s"ivf buckets=${r.k} rows=${r.rows} files=${r.files} " +
+            s"probeFiles=${probed.size}/${r.table.currentFiles.size} " +
+            s"top=${top.map(_.getLong(0)).mkString(",")}")
         case "ingest" =>
           // External-directory ingest (reference scanner.ts:80-140):
           //   ingest --root TBL --dir DIR [--include G1,G2] [--exclude G1,G2]

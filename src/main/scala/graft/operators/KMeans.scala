@@ -46,6 +46,12 @@ object KMeans {
   def scaled(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * lit(Scale.toDouble)).cast("long"))
 
+  /** Driver-side twin of [[scaled]] for single values (probe-time query
+    * vectors): same HALF_UP semantics as SQL ROUND. */
+  def scaleValue(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * Scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
   /** Nearest-centroid id by squared distance in scaled space: one
     * literal-folded codegen'd projection (struct-min gives argmin with
     * deterministic smallest-cid tie-break). */

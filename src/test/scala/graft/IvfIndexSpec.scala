@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.BuildIvf
+import graft.operators.KMeans
+
+/** IVF index build + probe over a bucket-partitioned graft table: inverted
+  * lists as partition values, centroids in table properties, probes as
+  * manifest-pruned scans. */
+class IvfIndexSpec extends GraftSuite {
+
+  /** Same planted-cluster construction as KMeansSpec: 3 separated centers
+    * in 4-d, 60 points each, deterministic pseudo-noise. */
+  private def fixture(parts: Int) = {
+    import spark.implicits._
+    val centers = Seq(
+      Array(10.0, 0.0, 0.0, 0.0),
+      Array(0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 0.0))
+    val rows = for { c <- centers.indices; j <- 0 until 60 } yield {
+      val id = (c * 60 + j + 1).toLong
+      val v = centers(c).zipWithIndex.map { case (x, dim) =>
+        (x + (((id * 31 + dim * 17) % 100) - 50) / 100.0).toFloat }
+      (id, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding").repartition(parts)
+  }
+
+  test("build: bucket-pure files, valued manifests, pruned probes, centroid roundtrip") {
+    val root = TestFixtures.workRoot.resolve("ivf-idx").toString
+    val df = fixture(4)
+    val r = BuildIvf.run(spark, df, "vec_id", "embedding", root,
+      initIds = Seq(1L, 61L, 121L))
+    assert(r.k == 3 && r.rows == 180)
+    val t = r.table
+    val snap = t.currentSnapshot
+    val valued = snap.manifests.flatMap(snap.partitionOfManifest)
+    assert(valued.size == snap.manifests.size,
+      s"every manifest carries its bucket value: $valued")
+    assert(valued.toSet.size == 3, s"three inverted lists: $valued")
+    // Every data FILE holds exactly one bucket (the partition-pure routing).
+    t.currentFiles.foreach { f =>
+      val st = f.stats("bucket")
+      assert(st.min.isDefined && st.min == st.max, s"mixed-bucket file: $f")
+    }
+    // A probe's scan opens only its bucket's files.
+    val cid = BuildIvf.centroidsOf(t).head._1
+    val probed = t.planFiles(Seq(graft.table.EqLong("bucket", cid)))
+    assert(probed.nonEmpty && probed.size < t.currentFiles.size,
+      s"bucket probe must prune files: ${probed.size}/${t.currentFiles.size}")
+    // Self-describing index: property centroids == a direct deterministic fit.
+    val fit = KMeans.fit(df, "embedding", "vec_id", Seq(1L, 61L, 121L), iters = 3)
+    assert(BuildIvf.centroidsOf(t).map { case (c, v) => (c, v.toSeq) } ==
+      fit.centroids.map { case (c, v) => (c, v.toSeq) })
+    // Rows survive the routing exchange intact.
+    assert(t.scan().count() == 180)
+    assert(t.scan().select("vec_id").distinct().count() == 180)
+  }
+
+  test("probe: nprobe=1 on the separated fixture equals brute-force top-k") {
+    val root = TestFixtures.workRoot.resolve("ivf-probe").toString
+    val df = fixture(4)
+    val r = BuildIvf.run(spark, df, "vec_id", "embedding", root,
+      initIds = Seq(1L, 61L, 121L))
+    val query = Array(10.0, 0.0, 0.0, 0.0) // planted center of cluster 1
+    val got = BuildIvf.probe(r.table, query, nprobe = 1, topK = 5).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getLong(1)).distinct.toSeq.length == 1,
+      "nprobe=1 results come from a single inverted list")
+    // Brute force over the raw fixture (driver-side, same fold order).
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val bf = df.collect().map { row =>
+      val id = row.getLong(0)
+      val v = row.getSeq[Float](1).map(_.toDouble)
+      val dot = v.zip(query).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      (id, dot / (nrm * qn))
+    }.sortBy { case (id, cos) => (-cos, id) }.take(5).map(_._1).toSeq
+    assert(got.map(_.getLong(0)).toSeq == bf,
+      s"pruned probe must equal brute force on a separated fixture: " +
+        s"${got.map(_.getLong(0)).toSeq} vs $bf")
+  }
+}

@@ -49,6 +49,29 @@ object BuildIvf {
     * id, vecCol: float/double array). Deterministic end-to-end: the
     * fixed-point fit plus value-routed writes make a rebuild of the same
     * data byte-comparable. */
+  /** Assign + partition-PURE routing: bucket with index i lands exactly at
+    * output partition i via the Murmur3 representative trick
+    * ([[Cluster.partitionReps]]), so every data file holds ONE bucket and
+    * the manifests carry per-bucket partition values — a plain
+    * repartition(col("bucket")) hash-collides buckets into shared files
+    * and silently demotes probe pruning to zero. */
+  private def routed(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Array[Long])]): DataFrame = {
+    val k = cents.size
+    val reps = Cluster.partitionReps(k)
+    val repCol = cents.zipWithIndex.foldLeft(lit(0L)) {
+      case (els, ((cid, _), i)) =>
+        when(col("bucket") === lit(cid), lit(reps(i))).otherwise(els)
+    }
+    vectors
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<float>").as("embedding"))
+      .withColumn("bucket",
+        KMeans.assignScaled(KMeans.scaled(col("embedding")), cents))
+      .withColumn("__rep", repCol)
+      .repartition(k, col("__rep")).drop("__rep")
+  }
+
   def run(spark: SparkSession, vectors: DataFrame, idCol: String,
       vecCol: String, root: String, initIds: Seq[Long],
       iters: Int = 3): Result = {
@@ -59,31 +82,30 @@ object BuildIvf {
         CentroidsProp -> encodeCentroids(fit.centroids),
         KProp -> fit.centroids.size.toString),
       partitionSpec = Some(PartitionSpec("bucket", "identity")))
-    // Partition-PURE routing: bucket with index i lands exactly at output
-    // partition i via the Murmur3 representative trick
-    // ([[Cluster.partitionReps]]), so every data file holds ONE bucket and
-    // the manifests carry per-bucket partition values — a plain
-    // repartition(col("bucket")) hash-collides buckets into shared files
-    // and silently demotes probe pruning to zero.
     val k = fit.centroids.size
-    val reps = Cluster.partitionReps(k)
-    val repCol = fit.centroids.zipWithIndex.foldLeft(lit(0L)) {
-      case (els, ((cid, _), i)) =>
-        when(col("bucket") === lit(cid), lit(reps(i))).otherwise(els)
-    }
-    val assigned = vectors
-      .select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).cast("array<float>").as("embedding"))
-      .withColumn("bucket",
-        KMeans.assignScaled(KMeans.scaled(col("embedding")), fit.centroids))
-      .withColumn("__rep", repCol)
-    val shaped = assigned.repartition(k, col("__rep")).drop("__rep")
-    GraftTable.append(t, shaped, summary = Map("job" -> "build-ivf"))
+    GraftTable.append(t, routed(vectors, idCol, vecCol, fit.centroids),
+      summary = Map("job" -> "build-ivf"))
     val files = t.currentFiles
     graft.lineage.Metrics.recordJob(root, "build-ivf", 0, Map(
       "k" -> k.toString, "files" -> files.size.toString,
       "rows" -> files.map(_.rowCount).sum.toString))
     Result(t, k, files.map(_.rowCount).sum, files.size)
+  }
+
+  /** Incremental index maintenance: assign NEW vectors with the STORED
+    * centroids and append bucket-pure files — one snapshot, no retrain.
+    * The steady-state 10^12-row path: continuous ingest appends into the
+    * lists; the assignment stays consistent because the quantizer is
+    * frozen in table properties (a periodic [[run]] rebuild re-trains when
+    * drift warrants it, as reference backends re-index). Appended files
+    * are small per batch — the standard compaction job folds them, and
+    * partition-pure bins keep every output file single-bucket. */
+  def append(t: GraftTable, vectors: DataFrame, idCol: String,
+      vecCol: String): Long = {
+    val before = t.currentFiles.map(_.rowCount).sum
+    GraftTable.append(t, routed(vectors, idCol, vecCol, centroidsOf(t)),
+      summary = Map("job" -> "ivf-append"))
+    t.currentFiles.map(_.rowCount).sum - before
   }
 
   /** nprobe-pruned cosine top-k over the index table. Probe lists are

@@ -58,6 +58,34 @@ class IvfIndexSpec extends GraftSuite {
     assert(t.scan().select("vec_id").distinct().count() == 180)
   }
 
+  test("incremental append: stored-centroid assignment keeps files bucket-pure and probes current") {
+    val root = TestFixtures.workRoot.resolve("ivf-append").toString
+    val base = fixture(4).filter(col("vec_id") <= 150)
+    val more = fixture(4).filter(col("vec_id") > 150) // 30 late arrivals
+    val r = BuildIvf.run(spark, base, "vec_id", "embedding", root,
+      initIds = Seq(1L, 61L, 121L))
+    assert(r.rows == 150)
+    val centsBefore = BuildIvf.centroidsOf(r.table).map { case (c, v) => (c, v.toSeq) }
+    val added = BuildIvf.append(r.table, more, "vec_id", "embedding")
+    assert(added == 30)
+    val t = r.table
+    // No retrain: the quantizer is frozen in properties.
+    assert(BuildIvf.centroidsOf(t).map { case (c, v) => (c, v.toSeq) } == centsBefore)
+    // Appended files are bucket-pure too; manifests stay valued.
+    t.currentFiles.foreach { f =>
+      val st = f.stats("bucket")
+      assert(st.min.isDefined && st.min == st.max, s"mixed-bucket file: $f")
+    }
+    val snap = t.currentSnapshot
+    assert(snap.manifests.flatMap(snap.partitionOfManifest).size == snap.manifests.size)
+    // A probe near cluster 3's center (ids 121..180 — the appended rows
+    // land here too) sees the late arrivals.
+    val got = BuildIvf.probe(t, Array(0.0, 0.0, 10.0, 0.0), nprobe = 1,
+      topK = 60).collect()
+    assert(got.map(_.getLong(0)).toSet == (121L to 180L).toSet,
+      "probe must see appended vectors in their inverted list")
+  }
+
   test("probe: nprobe=1 on the separated fixture equals brute-force top-k") {
     val root = TestFixtures.workRoot.resolve("ivf-probe").toString
     val df = fixture(4)

@@ -108,5 +108,14 @@ class IvfIndexSpec extends GraftSuite {
     assert(got.map(_.getLong(0)).toSeq == bf,
       s"pruned probe must equal brute force on a separated fixture: " +
         s"${got.map(_.getLong(0)).toSeq} vs $bf")
+
+    // nprobe >= k degrades to a full scan (no over-read, no failure), and
+    // a between-clusters query with nprobe=2 reads exactly two lists.
+    val full = BuildIvf.probe(r.table, query, nprobe = 99, topK = 200).collect()
+    assert(full.length == 180, "nprobe >= k scans every list exactly once")
+    val two = BuildIvf.probe(r.table, Array(7.0, 7.0, 0.0, 0.0), nprobe = 2,
+      topK = 200).collect()
+    assert(two.map(_.getLong(1)).distinct.length == 2)
+    assert(two.length == 120, "two inverted lists = 120 of 180 vectors")
   }
 }

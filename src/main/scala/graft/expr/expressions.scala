@@ -132,12 +132,58 @@ case class RangeRep(child: Expression, bounds: Array[Long], reps: Array[Long])
   override protected def withNewChildInternal(c: Expression): RangeRep = copy(child = c)
 }
 
+/**
+ * Salted IVF inverted-list routing: maps (bucket cid, salt) to the hash-
+ * partitioning representative of one of the bucket's sub-bucket output
+ * partitions. `cids` are the ASCENDING bucket ids; bucket index i owns the
+ * contiguous representative block `reps[offsets(i) until offsets(i+1))`
+ * (one entry per sub-bucket), and the salt picks the sub-bucket by Murmur3.
+ *
+ * O(1)-in-k per row (binary search + one hash), replacing the O(k)
+ * chained-`when` router — at k = 4096 that was 4096 branch evaluations per
+ * vector. Sub-buckets are what bound output FILE size and give each
+ * inverted list `m` parallel writer tasks instead of one ([[RangeRep]]'s
+ * shape, extended with the salt dimension).
+ */
+case class IvfRep(bucket: Expression, salt: Expression,
+    cids: Array[Long], offsets: Array[Int], reps: Array[Long])
+    extends BinaryExpression {
+  override def left: Expression = bucket
+  override def right: Expression = salt
+  override def dataType: DataType = LongType
+  override def nullSafeEval(b: Any, s: Any): Any =
+    ExprOps.ivfRep(cids, offsets, reps, b.asInstanceOf[Long], s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("cids", cids, "long[]")
+    val o = ctx.addReferenceObj("offsets", offsets, "int[]")
+    val r = ctx.addReferenceObj("reps", reps, "long[]")
+    defineCodeGen(ctx, ev, (b, s) => s"graft.expr.ExprOps.ivfRep($c, $o, $r, $b, $s)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfRep =
+    copy(bucket = l, salt = r)
+}
+
 /** Static helpers referenced from generated code. */
 object ExprOps {
   /** Bucket of `v` given ascending boundaries: the count of bounds <= v. */
   def rangeBucket(bounds: Array[Long], v: Long): Int = {
     val i = java.util.Arrays.binarySearch(bounds, v)
     if (i >= 0) i + 1 else -i - 1
+  }
+  /** See [[IvfRep]]: representative of (bucket `cid`, sub-bucket chosen by
+    * `salt`). The salt hash uses the same Murmur3 family as the partitioner
+    * but only to PICK within the block — the rep value then lands the row at
+    * exactly that partition index. */
+  def ivfRep(cids: Array[Long], offsets: Array[Int], reps: Array[Long],
+      cid: Long, salt: Long): Long = {
+    val i = java.util.Arrays.binarySearch(cids, cid)
+    val lo = offsets(i)
+    val m = offsets(i + 1) - lo
+    if (m == 1) reps(lo)
+    else {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(salt, 17)
+      reps(lo + (((h % m) + m) % m))
+    }
   }
   def psnrClamped(a: Array[Byte], b: Array[Byte]): Double = {
     val v = graft.images.ImageCodec.psnrBytes(a, b)
@@ -172,6 +218,9 @@ object functions {
   def detect_fmt(bytes: Column): Column = c(DetectFmt(e(bytes)))
   def range_rep(key: Column, bounds: Array[Long], reps: Array[Long]): Column =
     c(RangeRep(e(key), bounds, reps))
+  def ivf_rep(bucket: Column, salt: Column, cids: Array[Long],
+      offsets: Array[Int], reps: Array[Long]): Column =
+    c(IvfRep(e(bucket), e(salt), cids, offsets, reps))
 
   /** Hamming distance between two phash values — composed from built-ins
     * (stays fully codegen'd). */

@@ -1,10 +1,14 @@
 package graft.jobs
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.expr.{functions => gf}
+import graft.lineage.{Lineage, Metrics, UnitLineage}
 import graft.operators.KMeans
-import graft.table.{EqLong, GraftTable, PartitionSpec}
+import graft.table.{EqLong, GraftTable, MetaIO, PartitionSpec}
 
 /**
  * IVF ANN index BUILD as a lakehouse table-maintenance job — the batch
@@ -22,6 +26,27 @@ import graft.table.{EqLong, GraftTable, PartitionSpec}
  * travel in TABLE PROPERTIES, making the index self-describing and
  * snapshot-versioned with its data — a rebuild is just a new snapshot, and
  * time travel applies to the index like any other table.
+ *
+ * Scale design (round 6):
+ *  - SALTED SUB-BUCKET routing: bucket i gets m_i = ceil(estBytes_i /
+ *    targetBytes) output partitions, each written by its own task — the
+ *    earlier one-partition-per-bucket routing capped within-bucket write
+ *    parallelism at ONE task and made output file size equal to bucket
+ *    size (~100 GB per file at 10^12 vectors, k = 1024). Every sub-bucket
+ *    file still holds exactly one bucket, so manifests stay valued and
+ *    probes open only the probed buckets' files (the reference backends
+ *    shard their lists the same way, storage-opensearch vector-storage).
+ *  - The bucket -> representative router is one O(1)-per-row codegen'd
+ *    expression ([[graft.expr.IvfRep]]: binary search + salt hash), not an
+ *    O(k) chained `when`.
+ *  - LINEAGE-RESUMABLE: the trained centroids are the job's first durable
+ *    artifact, and the routed write proceeds in bucket WAVES committed as
+ *    lineage units — a killed 100 TB build resumes without retraining and
+ *    without rewriting finished waves (the Compact/Cluster pattern). Waves
+ *    trade resume granularity for read amplification (each wave re-scans
+ *    the column-pruned input to keep its slice), so the default is 1 wave
+ *    = a single full-scan write; a multi-day build picks waves such that
+ *    one wave's worth of lost work is acceptable.
  */
 object BuildIvf {
 
@@ -29,6 +54,10 @@ object BuildIvf {
     * [[KMeans.Scale]]). k x dims longs — metadata-sized at any N. */
   val CentroidsProp = "ivf.centroids"
   val KProp = "ivf.k"
+
+  /** Lineage artifact: trained centroids + cluster sizes (resume skips the
+    * fit; sizes drive the sub-bucket split). */
+  private val FitArtifact = "centroids.txt"
 
   case class Result(table: GraftTable, k: Int, rows: Long, files: Int)
 
@@ -41,55 +70,189 @@ object BuildIvf {
       (cid.toLong, vs.split(',').map(_.toLong))
     }
 
+  private def encodeSizes(sizes: Map[Long, Long]): String =
+    sizes.toSeq.sorted.map { case (c, n) => s"$c:$n" }.mkString(",")
+
+  private def decodeSizes(s: String): Map[Long, Long] =
+    s.split(',').toSeq.filter(_.nonEmpty).map { p =>
+      val Array(c, n) = p.split(':'); (c.toLong, n.toLong)
+    }.toMap
+
   def centroidsOf(t: GraftTable): Seq[(Long, Array[Long])] =
     decodeCentroids(t.meta.properties.getOrElse(CentroidsProp,
       throw new IllegalStateException(s"${t.root} is not an IVF index table")))
 
-  /** Build the index table at `root` from `vectors` (idCol: long-castable
-    * id, vecCol: float/double array). Deterministic end-to-end: the
-    * fixed-point fit plus value-routed writes make a rebuild of the same
-    * data byte-comparable. */
-  /** Assign + partition-PURE routing: bucket with index i lands exactly at
-    * output partition i via the Murmur3 representative trick
-    * ([[Cluster.partitionReps]]), so every data file holds ONE bucket and
-    * the manifests carry per-bucket partition values — a plain
-    * repartition(col("bucket")) hash-collides buckets into shared files
-    * and silently demotes probe pruning to zero. */
-  private def routed(vectors: DataFrame, idCol: String, vecCol: String,
-      cents: Seq[(Long, Array[Long])]): DataFrame = {
-    val k = cents.size
-    val reps = Cluster.partitionReps(k)
-    val repCol = cents.zipWithIndex.foldLeft(lit(0L)) {
-      case (els, ((cid, _), i)) =>
-        when(col("bucket") === lit(cid), lit(reps(i))).otherwise(els)
-    }
+  /** Sub-bucket (output file / writer task) count per bucket: m = ceil of
+    * the bucket's estimated bytes over `targetBytes`, bytes estimated from
+    * row count x (ids + dims floats). Estimation steers file SIZE only —
+    * purity and probe pruning never depend on it. */
+  private[graft] def subBucketCounts(cents: Seq[(Long, Array[Long])],
+      rowsPerBucket: Map[Long, Long], targetBytes: Long): Map[Long, Int] = {
+    val dims = cents.headOption.map(_._2.length).getOrElse(0)
+    val rowBytes = 20L + 4L * dims
+    cents.map { case (cid, _) =>
+      cid -> math.max(1, math.ceil(
+        rowsPerBucket.getOrElse(cid, 0L).toDouble * rowBytes /
+          math.max(1L, targetBytes)).toInt)
+    }.toMap
+  }
+
+  /** (vec_id, embedding, bucket): map-side nearest-centroid assignment
+    * against ALL centroids (driver-held literals — no join, no shuffle). */
+  private def assign(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Array[Long])]): DataFrame =
     vectors
       .select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<float>").as("embedding"))
       .withColumn("bucket",
         KMeans.assignScaled(KMeans.scaled(col("embedding")), cents))
-      .withColumn("__rep", repCol)
-      .repartition(k, col("__rep")).drop("__rep")
+
+  /** Partition-PURE salted routing: bucket with ascending index i owns the
+    * contiguous output-partition block [offsets(i), offsets(i+1)) via the
+    * Murmur3 representative trick ([[Cluster.partitionReps]]); the row's id
+    * salts the sub-bucket pick. Every data file holds ONE bucket, so the
+    * manifests carry per-bucket partition values — a plain
+    * repartition(col("bucket")) hash-collides buckets into shared files
+    * and silently demotes probe pruning to zero. */
+  private def route(assigned: DataFrame, cids: Array[Long],
+      subBuckets: Map[Long, Int]): DataFrame = {
+    val ms = cids.map(c => math.max(1, subBuckets.getOrElse(c, 1)))
+    val offsets = ms.scanLeft(0)(_ + _)
+    val total = offsets.last
+    val reps = Cluster.partitionReps(total)
+    assigned
+      .withColumn("__rep", gf.ivf_rep(col("bucket"), col("vec_id"),
+        cids, offsets, reps))
+      .repartition(total, col("__rep")).drop("__rep")
   }
 
+  /** Build the index table at `root` from `vectors` (idCol: long-castable
+    * id, vecCol: float/double array). Deterministic end-to-end: the
+    * fixed-point fit plus value-routed salted writes make a rebuild of the
+    * same data byte-comparable. Resumable: re-invoking with identical
+    * arguments after a kill reuses the persisted fit and every committed
+    * wave. */
   def run(spark: SparkSession, vectors: DataFrame, idCol: String,
       vecCol: String, root: String, initIds: Seq[Long],
-      iters: Int = 3): Result = {
-    val fit = KMeans.fit(vectors, vecCol, idCol, initIds, iters)
-    val t = GraftTable.create(root, spark,
-      schemaDdl = "vec_id BIGINT, embedding ARRAY<FLOAT>, bucket BIGINT",
-      properties = Map(
-        CentroidsProp -> encodeCentroids(fit.centroids),
-        KProp -> fit.centroids.size.toString),
-      partitionSpec = Some(PartitionSpec("bucket", "identity")))
-    val k = fit.centroids.size
-    GraftTable.append(t, routed(vectors, idCol, vecCol, fit.centroids),
-      summary = Map("job" -> "build-ivf"))
-    val files = t.currentFiles
-    graft.lineage.Metrics.recordJob(root, "build-ivf", 0, Map(
-      "k" -> k.toString, "files" -> files.size.toString,
-      "rows" -> files.map(_.rowCount).sum.toString))
-    Result(t, k, files.map(_.rowCount).sum, files.size)
+      iters: Int = 3, targetBytes: Long = 8L * 1024 * 1024,
+      waves: Int = 1, failAfterUnits: Option[Int] = None): Result = {
+    val jobT0 = System.nanoTime()
+    // Input files (when the source is file-backed) pin the job identity the
+    // same way Compact's input list does; a non-file source falls back to
+    // the parameter signature alone.
+    val inputs = scala.util.Try(vectors.inputFiles.toSeq).getOrElse(Nil)
+    val jid = Compact.jobId("build-ivf", 0L,
+      s"$idCol|$vecCol|${initIds.sorted.mkString(",")}|$iters|$targetBytes|$waves",
+      inputs)
+    // Full-job idempotence: a restart after the final commit is a no-op
+    // (rows/files come from the commit summary — no manifest re-read).
+    Lineage.committedSnapshot(root, jid).foreach { _ =>
+      val t = GraftTable.load(root, spark)
+      val s = t.currentSnapshot
+      return Result(t, t.meta.properties(KProp).toInt,
+        s.summary.get("added-rows").map(_.toLong).getOrElse(0L),
+        s.summary.get("added-files").map(_.toInt).getOrElse(0))
+    }
+    Files.createDirectories(Paths.get(root))
+
+    // Phase 1 (resumable): train, or reuse the persisted fit — the first
+    // committed artifact, so a killed build never retrains.
+    val (cents, sizes): (Seq[(Long, Array[Long])], Map[Long, Long]) =
+      Lineage.getArtifact(root, jid, FitArtifact) match {
+        case Some(txt) =>
+          val lines = txt.split('\n')
+          (decodeCentroids(lines(0)),
+            if (lines.length > 1) decodeSizes(lines(1)) else Map.empty[Long, Long])
+        case None =>
+          val tFit = System.nanoTime()
+          val fit = KMeans.fit(vectors, vecCol, idCol, initIds, iters)
+          Metrics.recordJob(root, "kmeans-fit",
+            (System.nanoTime() - tFit) / 1000000,
+            Map("k" -> fit.centroids.size.toString, "iters" -> iters.toString))
+          Lineage.putArtifact(root, jid, FitArtifact,
+            encodeCentroids(fit.centroids) + "\n" + encodeSizes(fit.sizes))
+          (fit.centroids, fit.sizes)
+      }
+    val sorted = cents.sortBy(_._1)
+    val k = sorted.size
+    val sub = subBucketCounts(sorted, sizes, targetBytes)
+
+    // Phase 2: the index table — fresh create, or reattach to the in-flight
+    // build's metadata (created before the kill). The centroid property
+    // guards against resuming into an unrelated table at the same root.
+    val t =
+      if (MetaIO.currentVersion(root).isDefined) {
+        val ex = GraftTable.load(root, spark)
+        require(ex.meta.properties.get(CentroidsProp)
+            .contains(encodeCentroids(sorted)),
+          s"$root holds a different table; refusing to resume an IVF build into it")
+        // Commit raced the kill (snapshot durable, marker not yet written):
+        // recognize our own commit instead of appending a duplicate.
+        ex.meta.currentSnapshot
+          .filter(_.summary.get("job-id").contains(jid)).foreach { s =>
+            Lineage.markCommitted(root, jid, s.snapshotId)
+            return Result(ex, k,
+              s.summary.get("added-rows").map(_.toLong).getOrElse(0L),
+              s.summary.get("added-files").map(_.toInt).getOrElse(0))
+          }
+        ex
+      } else GraftTable.create(root, spark,
+        schemaDdl = "vec_id BIGINT, embedding ARRAY<FLOAT>, bucket BIGINT",
+        properties = Map(
+          CentroidsProp -> encodeCentroids(sorted),
+          KProp -> k.toString),
+        partitionSpec = Some(PartitionSpec("bucket", "identity")))
+
+    // Phase 3: routed writes in bucket waves (LPT-balanced by cluster size,
+    // deterministic tie-break), each an independently resumable unit. Waves
+    // run SEQUENTIALLY — unlike Compact/Cluster units they all scan the
+    // same input, so overlapping them multiplies concurrent input reads
+    // without adding task-slot work.
+    val waveSets: Seq[Seq[Long]] = {
+      val w = math.max(1, math.min(waves, k))
+      if (w == 1) Seq(sorted.map(_._1))
+      else {
+        val load = Array.fill(w)(0L)
+        val out = Array.fill(w)(List.empty[Long])
+        sorted.map(_._1).sortBy(c => (-sizes.getOrElse(c, 0L), c)).foreach { cid =>
+          val i = load.indices.minBy(j => (load(j), j))
+          load(i) += math.max(1L, sizes.getOrElse(cid, 0L))
+          out(i) = cid :: out(i)
+        }
+        out.toSeq.map(_.sorted)
+      }
+    }
+    val already = Lineage.committedUnits(root, jid)
+    var executed = already.size
+    waveSets.indices.filterNot(already.contains).foreach { wi =>
+      failAfterUnits.foreach { n =>
+        if (executed >= n)
+          throw new RuntimeException(s"injected failure after $n units")
+      }
+      val tU = System.nanoTime()
+      val waveCids = waveSets(wi)
+      val a = assign(vectors, idCol, vecCol, sorted)
+      val waveDf =
+        if (waveSets.size == 1) a
+        else a.filter(col("bucket").isin(waveCids.map(Long.box): _*))
+      val out = t.writeDataFiles(route(waveDf, waveCids.toArray, sub))
+      Lineage.commitUnit(root, UnitLineage(jid, wi, Nil, out,
+        out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum,
+        (System.nanoTime() - tU) / 1000000))
+      executed += 1
+    }
+
+    val added = Lineage.committedUnits(root, jid).values.toSeq
+      .sortBy(_.unit).flatMap(_.filesOut)
+    val snap = t.commit("append", added, Set.empty,
+      summary = Map("job" -> "build-ivf", "job-id" -> jid))
+    Lineage.markCommitted(root, jid, snap.snapshotId)
+    Metrics.recordJob(root, "build-ivf",
+      (System.nanoTime() - jobT0) / 1000000, Map(
+        "k" -> k.toString, "waves" -> waveSets.size.toString,
+        "files" -> added.size.toString,
+        "rows" -> added.map(_.rowCount).sum.toString))
+    Result(t, k, added.map(_.rowCount).sum, added.size)
   }
 
   /** Incremental index maintenance: assign NEW vectors with the STORED
@@ -97,15 +260,29 @@ object BuildIvf {
     * The steady-state 10^12-row path: continuous ingest appends into the
     * lists; the assignment stays consistent because the quantizer is
     * frozen in table properties (a periodic [[run]] rebuild re-trains when
-    * drift warrants it, as reference backends re-index). Appended files
-    * are small per batch — the standard compaction job folds them, and
+    * drift warrants it, as reference backends re-index). The batch is
+    * scanned twice — a map-side partial count (<= k rows to the driver)
+    * sizes the sub-buckets, then the routed write — deliberately NOT
+    * persisted: caching an arbitrary-size batch trades bounded extra CPU
+    * for unbounded executor memory. Appended sub-bucket files are
+    * target-sized; the standard compaction job folds small ones, and
     * partition-pure bins keep every output file single-bucket. */
   def append(t: GraftTable, vectors: DataFrame, idCol: String,
-      vecCol: String): Long = {
-    val before = t.currentFiles.map(_.rowCount).sum
-    GraftTable.append(t, routed(vectors, idCol, vecCol, centroidsOf(t)),
+      vecCol: String, targetBytes: Long = 8L * 1024 * 1024): Long = {
+    val t0 = System.nanoTime()
+    val cents = centroidsOf(t).sortBy(_._1)
+    val a = assign(vectors, idCol, vecCol, cents)
+    val counts = a.groupBy(col("bucket")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sub = subBucketCounts(cents, counts, targetBytes)
+    val snap = GraftTable.append(t, route(a, cents.map(_._1).toArray, sub),
       summary = Map("job" -> "ivf-append"))
-    t.currentFiles.map(_.rowCount).sum - before
+    val addedRows = snap.summary.get("added-rows").map(_.toLong).getOrElse(0L)
+    Metrics.recordJob(t.root, "ivf-append",
+      (System.nanoTime() - t0) / 1000000,
+      Map("rows" -> addedRows.toString,
+        "files" -> snap.summary.getOrElse("added-files", "0")))
+    addedRows
   }
 
   /** nprobe-pruned cosine top-k over the index table. Probe lists are

@@ -187,9 +187,14 @@ object ExpireSnapshots {
       // batch redelivered across the upgrade boundary. Fold the max batch
       // id per checkpoint into the watermark properties in the SAME CAS
       // (properties survive expiry; StreamingIngest checks them first).
-      val keepIds = keep.map(_.snapshotId).toSet
+      // The fold covers ALL snapshots' markers — kept AND dropped: folding
+      // only dropped ones could write a watermark BELOW a kept snapshot's
+      // marker (drop batch 5, keep batch 7 -> property 5), and
+      // alreadyCommitted short-circuits on the property when present, so a
+      // redelivery of batch 7 would re-append duplicate rows. The property
+      // is a running max over committed batches, so folding kept markers
+      // early is always sound.
       val legacyWm: Map[String, String] = cur.snapshots
-        .filterNot(s => keepIds.contains(s.snapshotId))
         .flatMap(s => for {
           ck <- s.summary.get(graft.streaming.StreamingIngest.CheckpointKey)
           bid <- s.summary.get(graft.streaming.StreamingIngest.BatchIdKey)

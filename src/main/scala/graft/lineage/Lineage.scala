@@ -57,6 +57,28 @@ object Lineage {
       }.toMap
   }
 
+  /** Durably persist a named job ARTIFACT (tmp write + atomic rename): a
+    * phase output that later phases — and a resumed run — reuse instead of
+    * recomputing (e.g. BuildIvf's trained centroids, so a killed 100 TB
+    * index build never retrains). Artifact names must not collide with the
+    * `unit-*` / `COMMITTED` lineage files. */
+  def putArtifact(root: String, jobId: String, name: String, content: String): Unit = {
+    require(!name.startsWith("unit-") && name != "COMMITTED", s"reserved name: $name")
+    val d = dir(root, jobId)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".$name.tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, d.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def getArtifact(root: String, jobId: String, name: String): Option[String] = {
+    val f = dir(root, jobId).resolve(name)
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+    else None
+  }
+
   /** Mark the whole job's snapshot commit done (idempotence guard: a restart
     * after the table commit but before cleanup must not re-commit). */
   def markCommitted(root: String, jobId: String, snapshotId: Long): Unit = {

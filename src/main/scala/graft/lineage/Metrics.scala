@@ -210,20 +210,39 @@ object Metrics {
         else if (n > 0 && e.ts > h.peek().ts) { h.poll(); h.add(e); () }
       case _ => all += e; ()
     }
+    var corrupt = 0L
     files.foreach { p =>
       val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
       try {
         var line = r.readLine()
+        // An unparseable line is tolerated silently ONLY as a file's FINAL
+        // line (a live writer racing this reader tears at most the tail —
+        // the normal state on a continuous-ingest table). An unparseable
+        // line FOLLOWED by more lines is real corruption: still skipped
+        // (observability must not fail the caller) but counted and
+        // surfaced, so shrinking history is distinguishable from a benign
+        // race.
+        var pendingBad = false
         while (line != null) {
-          // A torn final line (a live writer racing this reader — the
-          // normal state on a continuous-ingest table) must not abort the
-          // read: skip unparseable lines.
-          if (line.nonEmpty)
-            scala.util.Try(TableJson.read[QueryEvent](line)).foreach(accept)
+          if (pendingBad) { corrupt += 1; pendingBad = false }
+          if (line.nonEmpty) {
+            scala.util.Try(TableJson.read[QueryEvent](line)) match {
+              case scala.util.Success(e) => accept(e)
+              case scala.util.Failure(_) => pendingBad = true
+            }
+          }
           line = r.readLine()
         }
       } finally r.close()
     }
+    lastCorruptLines = corrupt
+    if (corrupt > 0)
+      System.err.println(
+        s"[graft] metrics: skipped $corrupt corrupt non-final line(s) under $d")
     heap.map(_.asScala.toSeq).getOrElse(all.toSeq).sortBy(_.ts)
   }
+
+  /** Corrupt (non-final unparseable) lines skipped by the most recent
+    * [[events]] call — observability for tests and the CLI. */
+  @volatile private[graft] var lastCorruptLines: Long = 0L
 }

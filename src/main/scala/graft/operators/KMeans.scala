@@ -42,9 +42,25 @@ object KMeans {
   val Scale = 1000000L
 
   /** array<float|double> -> scaled long array (the fit's working space).
-    * round-half-away-from-zero, matching SQL ROUND in Spark and DuckDB. */
+    * round-half-away-from-zero, matching SQL ROUND in Spark and DuckDB.
+    *
+    * INPUT-MAGNITUDE BOUND (exactness contract): the integer distance math
+    * is exact only while it cannot wrap Long. Per-dimension diffs reach
+    * 2 x maxAbs(scaled), so sum-of-squares over `dims` dimensions requires
+    * maxAbs <= sqrt(Long.MaxValue / dims) / 2 ([[maxSafeScaled]] — ~1.9e8
+    * scaled = ~190 original units at dims = 64); the re-center sums
+    * additionally require rows x maxAbs < Long.MaxValue (normalized
+    * embeddings, maxAbs <= 1e6 scaled, are safe past 9e12 rows). [[fit]]
+    * validates the distance bound against the init vectors; callers own
+    * the (documented) guarantee for the rest of the data — typical
+    * normalized embeddings sit orders of magnitude inside. */
   def scaled(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * lit(Scale.toDouble)).cast("long"))
+
+  /** Largest scaled component magnitude for which squared-distance sums
+    * over `dims` dimensions provably fit in a Long (see [[scaled]]). */
+  def maxSafeScaled(dims: Int): Long =
+    math.sqrt(Long.MaxValue.toDouble / math.max(1, dims)).toLong / 2
 
   /** Driver-side twin of [[scaled]] for single values (probe-time query
     * vectors): same HALF_UP semantics as SQL ROUND. */
@@ -91,17 +107,35 @@ object KMeans {
     * returned cids ARE the init ids. */
   def fit(df: DataFrame, vecCol: String, idCol: String, initIds: Seq[Long],
       iters: Int = 3): Result = {
+    // Seed collect runs against the SOURCE frame (the id predicate pushes
+    // into a file-backed scan) with driver-side scaling — scaleValue is
+    // bit-identical to the `scaled` column (same double multiply, same
+    // HALF_UP BigDecimal round) — so the persisted working set below is
+    // scanned exactly iters + 1 times: one re-center aggregation per
+    // Lloyd's iteration plus the final-sizes pass. Routing the seed lookup
+    // through the cache cost an extra full materializing scan.
+    var cents: Seq[(Long, Array[Long])] = df
+      .filter(col(idCol).cast("long").isin(initIds.map(Long.box): _*))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Number](1).map(n => scaleValue(n.doubleValue())).toArray))
+      .toSeq.sortBy(_._1)
+    require(cents.size == initIds.distinct.size,
+      s"init ids missing from data: found ${cents.map(_._1)} of $initIds")
+    // Exactness guard (see `scaled`): a seed vector outside the magnitude
+    // bound means the data is outside the fixed-point contract — fail fast
+    // instead of silently wrapping Long in the distance math.
+    val dims = cents.head._2.length
+    val bound = maxSafeScaled(dims)
+    val maxAbs = cents.iterator.flatMap(_._2.iterator).map(math.abs).max
+    require(maxAbs <= bound,
+      s"component magnitude $maxAbs (scaled 1e6) exceeds the exact-Long " +
+        s"distance bound $bound for dims=$dims; normalize or rescale inputs")
     val scaledDf = df
       .select(col(idCol).cast("long").as("__id"), scaled(col(vecCol)).as("__v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var cents: Seq[(Long, Array[Long])] = scaledDf
-        .filter(col("__id").isin(initIds.map(Long.box): _*))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .toSeq.sortBy(_._1)
-      require(cents.size == initIds.distinct.size,
-        s"init ids missing from data: found ${cents.map(_._1)} of $initIds")
       for (_ <- 1 to iters) {
         // Re-center: explode to (cid, pos, x), partial-aggregated sums —
         // k * dims result rows, exact long arithmetic.

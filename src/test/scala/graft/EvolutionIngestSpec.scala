@@ -260,4 +260,29 @@ class EvolutionIngestSpec extends GraftSuite {
     assert(Metrics.events(root, tail = Some(0)).isEmpty)
     assert(Metrics.events(root, tail = Some(500)).size == 50)
   }
+
+  test("metrics read: a torn FINAL line is tolerated silently; mid-file corruption is counted") {
+    val root = TestFixtures.workRoot.resolve("metrics-torn").toString
+    val d = Metrics.dir(root)
+    java.nio.file.Files.createDirectories(d)
+    def ev(i: Int): String = graft.table.TableJson.write(Metrics.QueryEvent(
+      1000L + i, "job", s"job-$i", i.toLong, None, None, None, Map.empty))
+    def put(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(d.resolve(name),
+        lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // File A: a live writer's torn tail — benign, not counted.
+    put("metrics-a.jsonl", Seq(ev(1), ev(2), """{"ts":3,"kind":"jo"""))
+    assert(Metrics.events(root).size == 2)
+    assert(Metrics.lastCorruptLines == 0L,
+      "a torn final line is the benign race, not corruption")
+    // File B: garbage in the MIDDLE of the history — real corruption; the
+    // read still succeeds (observability never fails the caller) but the
+    // skipped lines are surfaced instead of history silently shrinking.
+    put("metrics-b.jsonl", Seq(ev(4), "NOT JSON AT ALL", ev(6)))
+    val evs = Metrics.events(root)
+    assert(evs.count(_.name.startsWith("job-")) == 4)
+    assert(Metrics.lastCorruptLines == 1L,
+      s"mid-file corruption must be counted: ${Metrics.lastCorruptLines}")
+  }
 }

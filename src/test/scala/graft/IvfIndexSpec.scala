@@ -86,6 +86,87 @@ class IvfIndexSpec extends GraftSuite {
       "probe must see appended vectors in their inverted list")
   }
 
+  test("salted sub-bucket routing: oversized buckets split into multiple " +
+      "bucket-pure files written in parallel; probes open only their bucket") {
+    val root = TestFixtures.workRoot.resolve("ivf-salted").toString
+    val df = fixture(4)
+    // dims=4 -> estimated ~36 B/row; 60 rows/bucket ~ 2.2 KB >> 1 KB target
+    // -> m = 3 sub-buckets per bucket.
+    val r = BuildIvf.run(spark, df, "vec_id", "embedding", root,
+      initIds = Seq(1L, 61L, 121L), targetBytes = 1024)
+    val t = r.table
+    assert(r.rows == 180 && r.k == 3)
+    // Each inverted list split across >1 file; every file still pure.
+    val byBucket = t.currentFiles.groupBy(_.stats("bucket").min.get)
+    assert(byBucket.size == 3)
+    byBucket.foreach { case (b, fs) =>
+      assert(fs.size > 1, s"bucket $b should split into sub-bucket files: ${fs.size}")
+    }
+    t.currentFiles.foreach { f =>
+      val st = f.stats("bucket")
+      assert(st.min.isDefined && st.min == st.max, s"mixed-bucket file: $f")
+    }
+    // Manifests stay valued; a probe opens exactly its bucket's files.
+    val snap = t.currentSnapshot
+    assert(snap.manifests.flatMap(snap.partitionOfManifest).size == snap.manifests.size)
+    val cid = BuildIvf.centroidsOf(t).head._1
+    val probed = t.planFiles(Seq(graft.table.EqLong("bucket", cid)))
+    assert(probed.size == byBucket(cid.toString).size && probed.size < t.currentFiles.size,
+      s"probe must open only its sub-bucket files: ${probed.size}/${t.currentFiles.size}")
+    // Probe results identical to the unsalted layout's (routing never
+    // changes semantics): nprobe=1 equals brute force on the fixture.
+    assert(t.scan().count() == 180)
+    val got = BuildIvf.probe(t, Array(10.0, 0.0, 0.0, 0.0), nprobe = 1, topK = 5)
+      .collect()
+    assert(got.length == 5 && got.map(_.getLong(1)).distinct.length == 1)
+  }
+
+  test("kill mid-build resumes from lineage without retraining or rewriting finished waves") {
+    import scala.jdk.CollectionConverters._
+    val root = TestFixtures.workRoot.resolve("ivf-resume").toString
+    val df = fixture(4)
+    def build(fail: Option[Int]) = BuildIvf.run(spark, df, "vec_id",
+      "embedding", root, initIds = Seq(1L, 61L, 121L), waves = 3,
+      failAfterUnits = fail)
+    intercept[RuntimeException] { build(fail = Some(1)) }
+    // The kill left: persisted fit artifact + exactly one committed wave,
+    // and NO published snapshot (readers never see a partial index).
+    val jdir = java.nio.file.Files.list(java.nio.file.Paths.get(root, "lineage"))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString != "_metrics").toList match {
+      case one :: Nil => one
+      case other => fail(s"expected one lineage job dir, got $other")
+    }
+    assert(java.nio.file.Files.exists(jdir.resolve("centroids.txt")),
+      "trained centroids persisted before any wave ran")
+    val jid = jdir.getFileName.toString
+    assert(graft.lineage.Lineage.committedUnits(root, jid).keySet == Set(0))
+    assert(graft.table.MetaIO.load(root).get._2.currentSnapshotId.isEmpty,
+      "no snapshot published by the killed build")
+    // Resume: completes the remaining waves, reuses wave 0's files, and
+    // does NOT retrain (exactly one kmeans-fit metrics row ever).
+    val r = build(fail = None)
+    assert(r.rows == 180 && r.k == 3 && r.table.currentSnapshot.operation == "append")
+    val fits = graft.lineage.Metrics.events(root)
+      .count(e => e.kind == "job" && e.name == "kmeans-fit")
+    assert(fits == 1, s"resume must not retrain: $fits fit runs recorded")
+    val units = graft.lineage.Lineage.committedUnits(root, jid)
+    assert(units.keySet == Set(0, 1, 2))
+    val current = r.table.currentFiles.map(_.path).toSet
+    assert(units(0).filesOut.map(_.path).toSet.subsetOf(current),
+      "wave-0 outputs written before the kill are reused, not rewritten")
+    // The resumed index is correct end-to-end.
+    val got = BuildIvf.probe(r.table, Array(0.0, 10.0, 0.0, 0.0), nprobe = 1,
+      topK = 60).collect()
+    assert(got.map(_.getLong(0)).toSet == (61L to 120L).toSet)
+    // Idempotent re-run: the COMMITTED marker short-circuits to the same
+    // snapshot (no duplicate append).
+    val r2 = build(fail = None)
+    assert(r2.table.currentSnapshot.snapshotId == r.table.currentSnapshot.snapshotId)
+    assert(r2.rows == 180 && r2.files == r.files)
+  }
+
   test("probe: nprobe=1 on the separated fixture equals brute-force top-k") {
     val root = TestFixtures.workRoot.resolve("ivf-probe").toString
     val df = fixture(4)

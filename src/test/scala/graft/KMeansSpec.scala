@@ -83,4 +83,24 @@ class KMeansSpec extends GraftSuite {
       KMeans.fit(pts, "embedding", "vec_id", initIds = Seq(999L), iters = 1)
     }
   }
+
+  test("fixed-point magnitude bound: out-of-contract inputs fail fast instead of wrapping Long") {
+    import spark.implicits._
+    // dims=2 -> maxSafeScaled ~ 1.07e9 scaled = ~1073 original units. A
+    // 1e4-unit component would overflow (x-y)^2 silently; the fit must
+    // refuse it at seed validation.
+    val big = Seq((1L, Seq(10000f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      KMeans.fit(big, "embedding", "vec_id", initIds = Seq(1L, 2L), iters = 1)
+    }
+    assert(e.getMessage.contains("distance bound"), e.getMessage)
+    // In-contract magnitudes (the documented bound) still fit.
+    assert(KMeans.maxSafeScaled(64) > 100L * KMeans.Scale,
+      "normalized embeddings sit far inside the bound at typical dims")
+    val ok = Seq((1L, Seq(100f, 0f)), (2L, Seq(0f, 100f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r = KMeans.fit(ok, "embedding", "vec_id", initIds = Seq(1L, 2L), iters = 1)
+    assert(r.centroids.size == 2)
+  }
 }

@@ -122,6 +122,33 @@ class StreamingUpkeepSpec extends GraftSuite {
     assert(t.scan().count() == 20)
   }
 
+  test("expire dropping an OLDER legacy marker while keeping a newer one never regresses the watermark") {
+    val work = TestFixtures.workRoot.resolve("stream-legacy-two")
+    val t = GraftTable.create(work.resolve("tbl").toString, spark)
+    val batch = graft.images.ImageGen.df(spark, 10, seed = 93L, partitions = 1)
+    val ckpt = work.resolve("ckpt").toString
+    // Two legacy streaming commits (summary markers only, no property) for
+    // the SAME checkpoint: batch 5, then batch 7.
+    GraftTable.append(t, batch, summary = Map(
+      "stream-batch-id" -> "5", "stream-checkpoint" -> ckpt))
+    val newer = GraftTable.append(t, batch, summary = Map(
+      "stream-batch-id" -> "7", "stream-checkpoint" -> ckpt))
+    // Expire DROPS the batch-5 snapshot but KEEPS the batch-7 one. The
+    // backfilled property must fold markers from kept AND dropped
+    // snapshots: a property of 5 would make alreadyCommitted (which
+    // short-circuits on the property when present) re-append a redelivered
+    // batch 7 — the canonical restart-redelivery case — as duplicates,
+    // even though its marker snapshot is still live.
+    graft.jobs.ExpireSnapshots.run(t, Seq(newer.snapshotId))
+    assert(t.meta.snapshots.map(_.snapshotId) == Seq(newer.snapshotId))
+    assert(t.meta.properties.get(StreamingIngest.watermarkKey(ckpt)).contains("7"),
+      s"watermark must cover the KEPT legacy marker: ${t.meta.properties}")
+    assert(!StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 7L),
+      "redelivery of the kept legacy batch must be skipped")
+    assert(!StreamingIngest.idempotentAppend(t, batch, ckpt, batchId = 5L))
+    assert(t.scan().count() == 20)
+  }
+
   test("cluster exchange is skew-safe: a hot curve key collapses to one partition, rows survive") {
     val work = TestFixtures.workRoot.resolve("cluster-skew")
     val t = GraftTable.create(work.resolve("tbl").toString, spark)

@@ -139,6 +139,7 @@ object ExpireSnapshots {
 
   def run(t: GraftTable, retain: Seq[Long], deleteFiles: Boolean = true,
       sweepOrphans: Boolean = true, orphanMinAgeMs: Long = 60L * 60 * 1000): Result = {
+    val jobT0 = System.nanoTime()
     val spark = t.spark
     import spark.implicits._
     val m = t.meta
@@ -281,7 +282,8 @@ object ExpireSnapshots {
       }
     }
 
-    graft.lineage.Metrics.recordJob(t.root, "expire", 0, Map(
+    graft.lineage.Metrics.recordJob(t.root, "expire",
+      (System.nanoTime() - jobT0) / 1000000, Map(
       "expired" -> (known -- retainSet).size.toString,
       "deleted-files" -> deletedFiles.toString,
       "deleted-bytes" -> deletedBytes.toString,

@@ -163,6 +163,35 @@ case class IvfRep(bucket: Expression, salt: Expression,
     copy(bucket = l, salt = r)
 }
 
+/**
+ * Nearest-centroid id (argmin of squared L2 distance in the fixed-point
+ * space) over an `array<long>` vector, with the centroid matrix folded in
+ * as a reference object — the k-means / IVF assignment kernel.
+ *
+ * Why not compose `array_min(array(struct(aggregate(zip_with(...)))))`:
+ * Spark's higher-order array functions evaluate INTERPRETED, one boxed
+ * lambda invocation per element — k x dims x 2 lambda evals plus k
+ * intermediate arrays per row (measured: the composed form dominated the
+ * whole IVF build at 1 M x 64-d x k=16). This expression is one tight
+ * primitive long loop inside whole-stage codegen. Tie-break matches the
+ * composed struct-min exactly: smallest distance, then smallest cid.
+ */
+case class NearestCentroid(child: Expression,
+    cids: Array[Long], cents: Array[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.nearestCentroid(cids, cents,
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ci = ctx.addReferenceObj("cids", cids, "long[]")
+    val ce = ctx.addReferenceObj("cents", cents, "long[][]")
+    defineCodeGen(ctx, ev, v => s"graft.expr.ExprOps.nearestCentroid($ci, $ce, $v)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
 /** Static helpers referenced from generated code. */
 object ExprOps {
   /** Bucket of `v` given ascending boundaries: the count of bounds <= v. */
@@ -170,6 +199,27 @@ object ExprOps {
     val i = java.util.Arrays.binarySearch(bounds, v)
     if (i >= 0) i + 1 else -i - 1
   }
+  /** See [[NearestCentroid]]: argmin_{c} sum_i (v_i - cents_c_i)^2, ties to
+    * the smaller cid. Exact Long math (inputs within
+    * [[graft.operators.KMeans.maxSafeScaled]]). */
+  def nearestCentroid(cids: Array[Long], cents: Array[Array[Long]],
+      v: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    var best = Long.MaxValue
+    var bestCid = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var d = 0L
+      var i = 0
+      while (i < cv.length) { val x = v.getLong(i) - cv(i); d += x * x; i += 1 }
+      if (d < best || (d == best && cids(c) < bestCid)) {
+        best = d; bestCid = cids(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+
   /** See [[IvfRep]]: representative of (bucket `cid`, sub-bucket chosen by
     * `salt`). The salt hash uses the same Murmur3 family as the partitioner
     * but only to PICK within the block — the rep value then lands the row at
@@ -221,6 +271,12 @@ object functions {
   def ivf_rep(bucket: Column, salt: Column, cids: Array[Long],
       offsets: Array[Int], reps: Array[Long]): Column =
     c(IvfRep(e(bucket), e(salt), cids, offsets, reps))
+  /** Element-wise sum aggregate over array<long> (see [[SumLongArray]]). */
+  def sum_long_array(arr: Column): Column =
+    c(SumLongArray(e(arr)).toAggregateExpression())
+  /** Codegen'd argmin-centroid assignment (see [[NearestCentroid]]). */
+  def nearest_centroid(vec: Column, cents: Seq[(Long, Array[Long])]): Column =
+    c(NearestCentroid(e(vec), cents.map(_._1).toArray, cents.map(_._2).toArray))
 
   /** Hamming distance between two phash values — composed from built-ins
     * (stays fully codegen'd). */

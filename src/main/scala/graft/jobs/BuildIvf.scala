@@ -293,6 +293,13 @@ object BuildIvf {
       topK: Int): DataFrame = {
     val cents = centroidsOf(t)
     val q = query.map(KMeans.scaleValue)
+    // Same exact-Long contract as the fit (KMeans.scaled scaladoc): an
+    // out-of-magnitude query would silently wrap the driver-side distance
+    // loop below and probe the wrong lists.
+    val bound = KMeans.maxSafeScaled(
+      cents.headOption.map(_._2.length).getOrElse(query.length))
+    require(q.forall(x => math.abs(x) <= bound),
+      s"query component exceeds the exact-Long distance bound $bound (scaled 1e6)")
     val probes = cents
       .map { case (cid, cv) =>
         var d = 0L

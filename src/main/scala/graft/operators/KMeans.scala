@@ -69,19 +69,15 @@ object KMeans {
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
   /** Nearest-centroid id by squared distance in scaled space: one
-    * literal-folded codegen'd projection (struct-min gives argmin with
-    * deterministic smallest-cid tie-break). */
+    * codegen'd projection with the centroid matrix as a reference object
+    * and a deterministic smallest-cid tie-break
+    * ([[graft.expr.NearestCentroid]] — the earlier composed
+    * array_min-over-structs form paid k x dims x 2 INTERPRETED lambda
+    * evaluations per row in Spark's higher-order functions, and dominated
+    * the whole IVF build). */
   def assignScaled(vs: Column, cents: Seq[(Long, Array[Long])]): Column = {
     require(cents.nonEmpty, "no centroids")
-    val structs = cents.map { case (cid, cv) =>
-      struct(
-        aggregate(
-          zip_with(vs, array(cv.toIndexedSeq.map(lit(_)): _*),
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, d2) => acc + d2).as("d"),
-        lit(cid).as("cid"))
-    }
-    array_min(array(structs: _*)).getField("cid")
+    graft.expr.functions.nearest_centroid(vs, cents)
   }
 
   case class Result(
@@ -137,26 +133,27 @@ object KMeans {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       for (_ <- 1 to iters) {
-        // Re-center: explode to (cid, pos, x), partial-aggregated sums —
-        // k * dims result rows, exact long arithmetic.
-        // withColumn BEFORE the generator select: a posexplode in the same
-        // projection strips the argmin struct's field aliases during the
-        // Generate rewrite (getField("cid") then fails on col1/col2).
+        // Re-center: one array-add per row via the SumLongArray typed
+        // aggregate — k result rows of (cid, dims-long sums, n). Exact long
+        // arithmetic, so partial-agg/merge order cannot change the result.
+        // (The earlier posexplode+sum shape multiplied the aggregated row
+        // count by dims: 64 M hash-agg updates per iteration at 1 M x 64-d
+        // vectors, where this does 1 M array adds.)
         val sums = scaledDf
           .withColumn("__cid", assignScaled(col("__v"), cents))
-          .select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-          .groupBy(col("__cid"), col("__pos"))
-          .agg(sum(col("__x")).as("s"), count(lit(1)).as("n"))
+          .groupBy(col("__cid"))
+          .agg(graft.expr.functions.sum_long_array(col("__v")).as("s"),
+            count(lit(1)).as("n"))
           .collect()
-        val byCid = sums.groupBy(_.getLong(0))
+        val byCid = sums.map(r =>
+          r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
         cents = cents.map { case (cid, old) =>
           byCid.get(cid) match {
             case None => (cid, old) // empty cluster: centroid carries over
-            case Some(rows) =>
-              val nv = old.clone()
-              rows.foreach { r =>
-                nv(r.getInt(1)) = meanRounded(r.getLong(2), r.getLong(3))
-              }
+            case Some((s, n)) =>
+              val nv = new Array[Long](old.length)
+              var i = 0
+              while (i < old.length) { nv(i) = meanRounded(s(i), n); i += 1 }
               (cid, nv)
           }
         }

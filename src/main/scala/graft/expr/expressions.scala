@@ -192,6 +192,65 @@ case class NearestCentroid(child: Expression,
     copy(child = c)
 }
 
+/**
+ * Fixed-point scaling of a float/double array to scaled longs
+ * (x -> HALF_UP(x * 1e6), [[graft.operators.KMeans.scaled]]'s kernel) as
+ * one codegen'd loop. The composed `transform(vec, x => round(...))` form
+ * pays an interpreted lambda + Round expression eval per element; this
+ * calls the SAME BigDecimal HALF_UP arithmetic ([[graft.operators
+ * .KMeans.scaleValue]]) per element with no lambda machinery, so the
+ * value contract with the SQL oracle's `round(x * 1e6)` is unchanged.
+ * Null elements pass through as null (transform semantics).
+ */
+case class ScaleVec(child: Expression) extends UnaryExpression {
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"scale_vec expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.scaleVec(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expr.ExprOps.scaleVec($v, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): ScaleVec = copy(c)
+}
+
+/**
+ * Cosine similarity of a float/double array column against a DRIVER-held
+ * query vector (reference object), with the query norm precomputed — the
+ * IVF probe's scan kernel. One pass over the array (dot and row norm
+ * together) instead of three interpreted higher-order traversals
+ * (zip_with dot + aggregate norm + divide). Ascending-index IEEE double
+ * folds; elements are widened to double BEFORE squaring — matching the
+ * driver-side reference computation (IvfIndexSpec's brute force), where
+ * the composed form squared float elements at float precision.
+ */
+case class CosineSim(child: Expression, q: Array[Double], qNorm: Double)
+    extends UnaryExpression {
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.cosineSim(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat, q, qNorm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qr = ctx.addReferenceObj("q", q, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expr.ExprOps.cosineSim($v, $isFloat, $qr, ${qNorm}D)")
+  }
+  override protected def withNewChildInternal(c: Expression): CosineSim =
+    copy(child = c)
+}
+
 /** Static helpers referenced from generated code. */
 object ExprOps {
   /** Bucket of `v` given ascending boundaries: the count of bounds <= v. */
@@ -218,6 +277,39 @@ object ExprOps {
       c += 1
     }
     bestCid
+  }
+
+  /** See [[ScaleVec]]. */
+  def scaleVec(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val d = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        out(i) = graft.operators.KMeans.scaleValue(d)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[CosineSim]]: dot(v, q) / (||v|| * qNorm), ascending-index IEEE
+    * double folds, elements widened to double before squaring. */
+  def cosineSim(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean, q: Array[Double], qNorm: Double): Double = {
+    var dot = 0.0
+    var nrm = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      dot += x * q(i)
+      nrm += x * x
+      i += 1
+    }
+    dot / (math.sqrt(nrm) * qNorm)
   }
 
   /** See [[IvfRep]]: representative of (bucket `cid`, sub-bucket chosen by
@@ -277,6 +369,11 @@ object functions {
   /** Codegen'd argmin-centroid assignment (see [[NearestCentroid]]). */
   def nearest_centroid(vec: Column, cents: Seq[(Long, Array[Long])]): Column =
     c(NearestCentroid(e(vec), cents.map(_._1).toArray, cents.map(_._2).toArray))
+  /** Codegen'd fixed-point array scaling (see [[ScaleVec]]). */
+  def scale_vec(vec: Column): Column = c(ScaleVec(e(vec)))
+  /** Codegen'd cosine against a driver-held query (see [[CosineSim]]). */
+  def cosine_sim(vec: Column, q: Array[Double], qNorm: Double): Column =
+    c(CosineSim(e(vec), q, qNorm))
 
   /** Hamming distance between two phash values — composed from built-ins
     * (stays fully codegen'd). */

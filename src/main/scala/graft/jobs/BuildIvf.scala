@@ -311,14 +311,12 @@ object BuildIvf {
     val scanned = probes
       .map(cid => t.scanWhere(Seq(EqLong("bucket", cid))))
       .reduce(_ unionByName _)
-    val qArr = array(query.toIndexedSeq.map(x => lit(x)): _*)
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     scanned
-      .withColumn("cos",
-        aggregate(zip_with(col("embedding"), qArr, (x, y) => x * y),
-          lit(0.0d), (acc, v) => acc + v) /
-          (sqrt(aggregate(col("embedding"), lit(0.0d),
-            (acc, v) => acc + v * v)) * lit(qNorm)))
+      // One codegen'd pass per row (dot + norm together, expr.CosineSim) —
+      // the serving hot loop; the composed zip_with/aggregate form paid
+      // three interpreted higher-order traversals per scanned vector.
+      .withColumn("cos", gf.cosine_sim(col("embedding"), query, qNorm))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(topK)
       .select(col("vec_id"), col("bucket"), col("cos"))

@@ -54,8 +54,7 @@ object KMeans {
     * validates the distance bound against the init vectors; callers own
     * the (documented) guarantee for the rest of the data — typical
     * normalized embeddings sit orders of magnitude inside. */
-  def scaled(vec: Column): Column =
-    transform(vec, x => round(x.cast("double") * lit(Scale.toDouble)).cast("long"))
+  def scaled(vec: Column): Column = graft.expr.functions.scale_vec(vec)
 
   /** Largest scaled component magnitude for which squared-distance sums
     * over `dims` dimensions provably fit in a Long (see [[scaled]]). */

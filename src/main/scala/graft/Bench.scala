@@ -97,11 +97,7 @@ object Bench {
           best = math.min(best, dt)
         }
         f""","ivf_build":$build%.3f,"ivf_probe":$best%.3f,"ivf_probe_cold":$first%.3f"""
-      } finally {
-        java.nio.file.Files.walk(tmp)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      }
+      } finally graft.util.Fs.deleteRecursively(tmp)
     } catch {
       case e: Throwable =>
         s""","ivf_probe_err":"${esc(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")}""""

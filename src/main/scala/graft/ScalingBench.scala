@@ -93,12 +93,8 @@ object ScalingBench {
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       // Free the trial's table (tmpfs capacity); the fixture dir is kept.
-      Seq(root, s"$work/warm-$cpus-$trial").foreach { d =>
-        val dp = Paths.get(d)
-        if (Files.exists(dp))
-          Files.walk(dp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => Files.deleteIfExists(f))
-      }
+      Seq(root, s"$work/warm-$cpus-$trial")
+        .foreach(d => graft.util.Fs.deleteRecursively(Paths.get(d)))
     }
 
     def best(cpus: Int): Phase = {

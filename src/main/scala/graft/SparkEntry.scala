@@ -378,7 +378,13 @@ object SparkEntry {
             / (sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
                * lit(math.sqrt(cv.map(x => x * x).sum))), scale)
       }
-      val cents = q34Fit.computeIfAbsent(d, _ =>
+      // Memo key includes the input FILE LIST, not just the dir: a
+      // regenerated fixture at the same path (new part-file names) must
+      // invalidate the cached fit, or q34 would silently score against a
+      // stale quantizer while the oracle re-trains on the actual files.
+      val memoKey = d + "#" +
+        scala.util.Try(e.inputFiles.sorted.mkString("|")).getOrElse("").hashCode
+      val cents = q34Fit.computeIfAbsent(memoKey, _ =>
         graft.operators.KMeans
           .fit(e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
             initIds = 1L to 8L, iters = KMeansIters)

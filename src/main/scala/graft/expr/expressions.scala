@@ -200,7 +200,8 @@ case class NearestCentroid(child: Expression,
  * calls the SAME BigDecimal HALF_UP arithmetic ([[graft.operators
  * .KMeans.scaleValue]]) per element with no lambda machinery, so the
  * value contract with the SQL oracle's `round(x * 1e6)` is unchanged.
- * Null elements pass through as null (transform semantics).
+ * A wholly-null vector null-propagates; a null ELEMENT is rejected
+ * loudly (see [[ExprOps.scaleVec]]), so the output is always dense.
  */
 case class ScaleVec(child: Expression) extends UnaryExpression {
   private lazy val isFloat: Boolean = child.dataType match {
@@ -209,8 +210,7 @@ case class ScaleVec(child: Expression) extends UnaryExpression {
     case other => throw new IllegalArgumentException(
       s"scale_vec expects array<float|double>, got $other")
   }
-  override def dataType: DataType = ArrayType(LongType,
-    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     ExprOps.scaleVec(
       v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat)
@@ -265,6 +265,11 @@ object ExprOps {
       v: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     var best = Long.MaxValue
     var bestCid = Long.MaxValue
+    // One dense-ness pass up front (not inside the k-way loop): null slots
+    // would read as 0 from ArrayData's primitive getters — fail loudly, as
+    // scaleVec does. (ScaleVec output is already guaranteed dense; this
+    // guards direct callers.)
+    requireDense(v)
     var c = 0
     while (c < cents.length) {
       val cv = cents(c)
@@ -279,17 +284,33 @@ object ExprOps {
     bestCid
   }
 
-  /** See [[ScaleVec]]. */
+  private def requireDense(v: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null vector component at index $i — vectors must be dense")
+      i += 1
+    }
+  }
+
+  /** See [[ScaleVec]]. Null ELEMENTS are rejected loudly: the downstream
+    * primitive kernels ([[nearestCentroid]], [[cosineSim]]) return
+    * non-nullable primitives, so a null slot would otherwise silently read
+    * as coordinate 0 and produce a confidently wrong assignment/score.
+    * (A wholly-null vector still null-propagates via nullSafeEval.) */
   def scaleVec(v: org.apache.spark.sql.catalyst.util.ArrayData,
       isFloat: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = v.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      if (!v.isNullAt(i)) {
-        val d = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        out(i) = graft.operators.KMeans.scaleValue(d)
-      }
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null vector component at index $i — vectors must be dense")
+      val d = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = graft.operators.KMeans.scaleValue(d)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -299,6 +320,7 @@ object ExprOps {
     * double folds, elements widened to double before squaring. */
   def cosineSim(v: org.apache.spark.sql.catalyst.util.ArrayData,
       isFloat: Boolean, q: Array[Double], qNorm: Double): Double = {
+    requireDense(v)
     var dot = 0.0
     var nrm = 0.0
     var i = 0

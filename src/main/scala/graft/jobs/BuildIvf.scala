@@ -98,12 +98,17 @@ object BuildIvf {
   }
 
   /** (vec_id, embedding, bucket): map-side nearest-centroid assignment
-    * against ALL centroids (driver-held literals — no join, no shuffle). */
+    * against ALL centroids (driver-held literals — no join, no shuffle).
+    * Rows with a NULL id or vector are excluded: a null vector has no
+    * nearest list (reference ANN backends likewise skip documents without
+    * embeddings), and letting it through would give it a null bucket that
+    * contaminates a partition-pure file. */
   private def assign(vectors: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Array[Long])]): DataFrame =
     vectors
       .select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<float>").as("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .withColumn("bucket",
         KMeans.assignScaled(KMeans.scaled(col("embedding")), cents))
 
@@ -144,16 +149,37 @@ object BuildIvf {
     val jid = Compact.jobId("build-ivf", 0L,
       s"$idCol|$vecCol|${initIds.sorted.mkString(",")}|$iters|$targetBytes|$waves",
       inputs)
-    // Full-job idempotence: a restart after the final commit is a no-op
-    // (rows/files come from the commit summary — no manifest re-read).
-    Lineage.committedSnapshot(root, jid).foreach { _ =>
+    // Full-job idempotence: a restart after the final commit is a no-op.
+    // Rows/files come from the BUILD's OWN snapshot summary (resolved by
+    // the marker's id — the current snapshot may already be a later
+    // append's); an expired build snapshot falls back to the lineage
+    // units' totals. No manifest re-read either way.
+    Lineage.committedSnapshot(root, jid).foreach { sid =>
       val t = GraftTable.load(root, spark)
-      val s = t.currentSnapshot
-      return Result(t, t.meta.properties(KProp).toInt,
-        s.summary.get("added-rows").map(_.toLong).getOrElse(0L),
-        s.summary.get("added-files").map(_.toInt).getOrElse(0))
+      val k = t.meta.properties(KProp).toInt
+      t.meta.snapshot(sid) match {
+        case Some(s) => return Result(t, k,
+          s.summary.get("added-rows").map(_.toLong).getOrElse(0L),
+          s.summary.get("added-files").map(_.toInt).getOrElse(0))
+        case None =>
+          val units = Lineage.committedUnits(root, jid).values
+          return Result(t, k, units.map(_.rows).sum,
+            units.map(_.filesOut.size).sum)
+      }
     }
     Files.createDirectories(Paths.get(root))
+    // Cheap pre-training refusal: a table at root that already has a
+    // committed snapshot, with NO fit artifact for this jobId, is either a
+    // foreign table or an index built with different parameters — fail now
+    // rather than after a (100 TB-scale) training pass. The in-flight and
+    // raced-commit resume cases both have the artifact (it is written
+    // before any wave runs); phase 2 re-validates with the centroids.
+    if (MetaIO.currentVersion(root).isDefined &&
+        Lineage.getArtifact(root, jid, FitArtifact).isEmpty &&
+        GraftTable.load(root, spark).meta.currentSnapshotId.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$root already holds a committed index built with different " +
+          s"parameters; delete it or re-run with the original arguments")
 
     // Phase 1 (resumable): train, or reuse the persisted fit — the first
     // committed artifact, so a killed build never retrains.
@@ -195,6 +221,14 @@ object BuildIvf {
               s.summary.get("added-rows").map(_.toLong).getOrElse(0L),
               s.summary.get("added-files").map(_.toInt).getOrElse(0))
           }
+        // Any OTHER committed snapshot means the index was already built by
+        // a run with DIFFERENT parameters (the fit is deterministic, so
+        // matching centroids alone cannot distinguish jobs): proceeding
+        // would append every vector a second time. Only an in-flight build
+        // (no snapshot yet) is resumable here.
+        require(ex.meta.currentSnapshotId.isEmpty,
+          s"$root already holds a committed index built with different " +
+            s"parameters; delete it or re-run with the original arguments")
         ex
       } else GraftTable.create(root, spark,
         schemaDdl = "vec_id BIGINT, embedding ARRAY<FLOAT>, bucket BIGINT",
@@ -295,9 +329,13 @@ object BuildIvf {
     val q = query.map(KMeans.scaleValue)
     // Same exact-Long contract as the fit (KMeans.scaled scaladoc): an
     // out-of-magnitude query would silently wrap the driver-side distance
-    // loop below and probe the wrong lists.
-    val bound = KMeans.maxSafeScaled(
-      cents.headOption.map(_._2.length).getOrElse(query.length))
+    // loop below and probe the wrong lists; a wrong-dimensionality query
+    // would index past the centroid (or, in the scan kernel, the query)
+    // array with a raw AIOOBE.
+    val dims = cents.headOption.map(_._2.length).getOrElse(query.length)
+    require(query.length == dims,
+      s"query has ${query.length} dims, index has $dims")
+    val bound = KMeans.maxSafeScaled(dims)
     require(q.forall(x => math.abs(x) <= bound),
       s"query component exceeds the exact-Long distance bound $bound (scaled 1e6)")
     val probes = cents

@@ -127,7 +127,12 @@ object KMeans {
     require(maxAbs <= bound,
       s"component magnitude $maxAbs (scaled 1e6) exceeds the exact-Long " +
         s"distance bound $bound for dims=$dims; normalize or rescale inputs")
+    // Null vectors are excluded from the working set: they have no
+    // assignment, and the replaced posexplode shape dropped them too
+    // (a generator emits zero rows for a null array) — without the filter
+    // they would surface as a null-cid aggregation group.
     val scaledDf = df
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"), scaled(col(vecCol)).as("__v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -119,6 +119,19 @@ class IvfIndexSpec extends GraftSuite {
     val got = BuildIvf.probe(t, Array(10.0, 0.0, 0.0, 0.0), nprobe = 1, topK = 5)
       .collect()
     assert(got.length == 5 && got.map(_.getLong(1)).distinct.length == 1)
+    // Re-running against a COMPLETED index with different build parameters
+    // must refuse (a different jobId would otherwise append every vector a
+    // second time); probes with the wrong dimensionality fail cleanly too.
+    val e1 = intercept[IllegalArgumentException] {
+      BuildIvf.run(spark, df, "vec_id", "embedding", root,
+        initIds = Seq(1L, 61L, 121L), targetBytes = 2048)
+    }
+    assert(e1.getMessage.contains("different parameters"), e1.getMessage)
+    assert(t.scan().count() == 180, "refused re-run must not change the table")
+    val e2 = intercept[IllegalArgumentException] {
+      BuildIvf.probe(t, Array(10.0, 0.0), nprobe = 1, topK = 5)
+    }
+    assert(e2.getMessage.contains("dims"), e2.getMessage)
   }
 
   test("kill mid-build resumes from lineage without retraining or rewriting finished waves") {

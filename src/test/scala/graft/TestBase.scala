@@ -1,7 +1,6 @@
 package graft
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
@@ -25,11 +24,7 @@ object TestFixtures {
   val workRoot: Path = {
     val p = Paths.get(sys.props("java.io.tmpdir"), s"graft-test-${System.nanoTime()}")
     Files.createDirectories(p)
-    sys.addShutdownHook {
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
-    }
+    sys.addShutdownHook { graft.util.Fs.deleteRecursively(p) }
     p
   }
 

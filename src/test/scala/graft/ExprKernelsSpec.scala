@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.{functions => gf}
+import graft.operators.KMeans
+
+/** Direct semantics tests for the round-6 codegen kernels (ScaleVec,
+  * NearestCentroid, CosineSim, SumLongArray, IvfRep): each must agree
+  * exactly with the composable Spark form (or a driver-side reference) it
+  * replaced, and reject contract-violating input loudly instead of
+  * fabricating zeros. */
+class ExprKernelsSpec extends GraftSuite {
+
+  test("scale_vec matches SQL round(x*1e6) on a sign/rounding-edge grid, float and double") {
+    import spark.implicits._
+    val vals = Seq(0.0, 1.0, -1.0, 0.1234567, -0.1234567, 0.0000005,
+      -0.0000005, 0.0000015, -0.0000015, 123.456789, -123.456789,
+      0.9999995, -0.9999995, 1.5e-7)
+    val df = Seq((1L, vals.map(_.toFloat))).toDF("id", "vf")
+      .withColumn("vd", col("vf").cast("array<double>"))
+    // The composed form the kernel replaced — still the value contract.
+    def composed(c: String) = transform(col(c),
+      x => round(x.cast("double") * lit(1e6)).cast("long"))
+    val r = df.select(
+      gf.scale_vec(col("vf")).as("kf"), composed("vf").as("cf"),
+      gf.scale_vec(col("vd")).as("kd"), composed("vd").as("cd")).head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1), "float path")
+    assert(r.getSeq[Long](2) == r.getSeq[Long](3), "double path")
+    // Driver twin agrees too (the seed-collect path) — on the values the
+    // column actually holds (vd is the float column widened, so the
+    // reference must degrade through float the same way).
+    assert(r.getSeq[Long](2) == vals.map(v => KMeans.scaleValue(v.toFloat.toDouble)))
+  }
+
+  test("nearest_centroid equals the composed argmin-struct form, including distance ties") {
+    import spark.implicits._
+    val cents = Seq(
+      (10L, Array(0L, 0L)), (20L, Array(1000000L, 0L)), (30L, Array(0L, 1000000L)))
+    // Includes a point equidistant from cids 20 and 30 (tie -> smaller cid).
+    val pts = Seq(
+      Seq(0L, 0L), Seq(900000L, 0L), Seq(0L, 900000L), Seq(500000L, 500000L),
+      Seq(-200000L, 100000L), Seq(1000000L, 1000000L))
+      .map(Tuple1(_)).toDF("v")
+    val composed = array_min(array(cents.map { case (cid, cv) =>
+      struct(
+        aggregate(zip_with(col("v"), array(cv.toIndexedSeq.map(lit(_)): _*),
+          (x, y) => (x - y) * (x - y)), lit(0L), (a, d) => a + d).as("d"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+    val rows = pts.select(gf.nearest_centroid(col("v"), cents).as("k"),
+      composed.as("c")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("cosine_sim equals the driver-side double-precision reference") {
+    import spark.implicits._
+    val q = Array(0.5, -1.25, 3.0, 0.125)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val vecs = Seq(
+      Seq(1f, 2f, 3f, 4f), Seq(-0.5f, 0.25f, 0f, 8f), Seq(0.1f, 0.1f, 0.1f, 0.1f))
+    val got = vecs.map(Tuple1(_)).toDF("v")
+      .select(gf.cosine_sim(col("v"), q, qn)).collect().map(_.getDouble(0))
+    val want = vecs.map { v =>
+      val d = v.map(_.toDouble)
+      d.zip(q).map { case (x, y) => x * y }.sum /
+        (math.sqrt(d.map(x => x * x).sum) * qn)
+    }
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
+  test("sum_long_array equals posexplode sums under grouping; all-null group is null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L)), (1L, Seq(10L, 20L, 30L)),
+      (2L, Seq(-5L, 0L, 5L)), (2L, Seq(7L, 7L, 7L)), (2L, Seq(1L, 1L, 1L)))
+      .toDF("g", "v")
+    val kernel = df.groupBy("g").agg(gf.sum_long_array(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exploded = df.select(col("g"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("g", "p").agg(sum("x").as("s")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(kernel == exploded)
+    val nul = Seq((1L, null.asInstanceOf[Seq[Long]])).toDF("g", "v")
+      .groupBy("g").agg(gf.sum_long_array(col("v")).as("s")).head()
+    assert(nul.isNullAt(1), "an all-null group sums to null (SUM semantics)")
+  }
+
+  test("kernels reject null vector ELEMENTS loudly instead of reading them as 0") {
+    import spark.implicits._
+    val bad = Seq(Tuple1(Seq[java.lang.Float](1f, null, 3f))).toDF("v")
+    val e = intercept[Exception] {
+      bad.select(gf.scale_vec(col("v"))).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    assert(rootMsg(e).contains("dense"), rootMsg(e))
+    val e2 = intercept[Exception] {
+      bad.select(gf.cosine_sim(col("v"), Array(1.0, 1.0, 1.0), 1.0)).collect()
+    }
+    assert(rootMsg(e2).contains("dense"), rootMsg(e2))
+  }
+
+  test("ivf_rep routes every (bucket, salt) into the bucket's contiguous partition block") {
+    import spark.implicits._
+    val cids = Array(5L, 9L, 42L)
+    val sub = Map(5L -> 2, 9L -> 1, 42L -> 3)
+    val ms = cids.map(sub)
+    val offsets = ms.scanLeft(0)(_ + _)
+    val total = offsets.last
+    val reps = graft.jobs.Cluster.partitionReps(total)
+    val rows = (1L to 500L).map(i => (i, cids((i % 3).toInt)))
+    val routed = rows.toDF("salt", "bucket")
+      .withColumn("__rep", gf.ivf_rep(col("bucket"), col("salt"), cids, offsets, reps))
+      .repartition(total, col("__rep"))
+      .select(col("bucket"), spark_partition_id().as("pid"))
+      .collect()
+    routed.foreach { r =>
+      val bi = cids.indexOf(r.getLong(0))
+      val pid = r.getInt(1)
+      assert(pid >= offsets(bi) && pid < offsets(bi + 1),
+        s"bucket ${r.getLong(0)} landed at partition $pid outside its block " +
+          s"[${offsets(bi)}, ${offsets(bi + 1)})")
+    }
+    // The salted split actually uses >1 partition for a multi-sub-bucket
+    // bucket (500 salts over 2-3 sub-buckets cannot all collide).
+    val pidsPerBucket = routed.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getInt(1)).distinct.size).toMap
+    assert(pidsPerBucket(5L) == 2 && pidsPerBucket(42L) == 3 && pidsPerBucket(9L) == 1,
+      s"sub-bucket spread: $pidsPerBucket")
+  }
+}

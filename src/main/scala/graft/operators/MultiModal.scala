@@ -13,8 +13,10 @@ import graft.images.ImageCodec
  * frame-sample stages (re-grounding the reference's pluggable
  * DocumentParser, core/src/interfaces/parser.ts:8-12).
  *
- * Image ops are REAL (javax.imageio decode on executors). Audio/video
- * decoders are NOT available in this container, so those two are
+ * Image ops are REAL (javax.imageio decode on executors), and audio is
+ * REAL for the PCM containers the JDK ships codecs for (WAV/AIFF/AU via
+ * javax.sound.sampled — [[audioFeatures]]). Compressed-audio and video
+ * decoders are NOT available in this container, so those are
  * DETERMINISTIC STUBS (clearly marked): the Spark-side plumbing — schema,
  * batch shape, partition-parallel execution — is real and tested; only the
  * codec call is faked with a seeded transform of the payload bytes.
@@ -60,13 +62,60 @@ object MultiModal {
     bins.map(_ / n)
   })
 
-  // --------------------------------------------------- audio / video (STUBS)
+  // ------------------------------------------- audio (REAL for PCM containers)
 
-  /** STUB audio decode: no audio codec ships in this container. Emits
+  /** REAL audio decode for the containers the JDK itself ships codecs for
+    * (WAV / AIFF / AU, PCM or a-law/mu-law via conversion): duration,
+    * RMS amplitude (normalized to [0,1]) and zero-crossing count over the
+    * first channel, computed from the actual decoded samples via
+    * `javax.sound.sampled` — no external codec needed. Compressed formats
+    * (mp3/ogg/aac) have no JDK service provider in this container and
+    * throw UnsupportedAudioFileException — route those to
+    * [[audioFeaturesStub]] until a real codec is available. Scalar
+    * per-payload work: embarrassingly parallel, no shuffle. */
+  val audioFeatures = udf((b: Array[Byte]) => {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val src = in.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+        src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(target, in)
+      try {
+        val buf = pcm.readAllBytes()
+        val ch = target.getChannels
+        val frameBytes = ch * 2
+        val frames = buf.length / frameBytes
+        var sumSq = 0.0
+        var zc = 0L
+        var prevNeg = false
+        var f = 0
+        while (f < frames) {
+          val o = f * frameBytes // channel 0, little-endian 16-bit
+          val s = ((buf(o + 1) << 8) | (buf(o) & 0xff)).toShort.toInt
+          sumSq += s.toDouble * s
+          val neg = s < 0
+          if (f > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          f += 1
+        }
+        val durationMs = (frames * 1000.0 / target.getSampleRate).toLong
+        val rms = if (frames == 0) 0.0 else math.sqrt(sumSq / frames) / 32768.0
+        (durationMs, rms, zc)
+      } finally pcm.close()
+    } finally in.close()
+  })
+
+  // ----------------------------------- audio (compressed) / video (STUBS)
+
+  /** STUB for COMPRESSED audio (mp3/ogg/aac — no codec in this
+    * container; WAV/AIFF/AU decode for real via [[audioFeatures]]). Emits
     * deterministic pseudo-PCM stats derived from the payload bytes so the
     * pipeline shape (binary -> fixed feature schema) is real end-to-end.
-    * Replace the body with a real decoder (e.g. javax.sound or ffmpeg
-    * bindings) when available. */
+    * Replace the body with a real decoder (e.g. ffmpeg bindings) when
+    * available. */
   val audioFeaturesStub = udf((b: Array[Byte]) => {
     var h = 1125899906842597L
     var i = 0

@@ -35,6 +35,50 @@ class MultiModalStreamingSpec extends GraftSuite {
     }
   }
 
+  test("audioFeatures REALLY decodes PCM WAV: duration, RMS and zero crossings match the synthesized signal") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // Synthesize WAVs in-memory: sineHz at 8 kHz mono 16-bit for `secs`.
+    def wav(sineHz: Double, secs: Double, amp: Double): Array[Byte] = {
+      val rate = 8000
+      val n = (rate * secs).toInt
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = (math.sin(2 * math.Pi * sineHz * i / rate) * amp * 32767).toInt
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+      val out = new java.io.ByteArrayOutputStream()
+      val ain = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      AudioSystem.write(ain, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      ("a440", wav(440.0, 1.0, 0.8)),
+      ("a100", wav(100.0, 2.0, 0.4)),
+      ("silence", wav(440.0, 0.5, 0.0)))
+      .toDF("id", "bytes")
+      .withColumn("f", MultiModal.audioFeatures(col("bytes")))
+      .select(col("id"), col("f._1").as("ms"), col("f._2").as("rms"), col("f._3").as("zc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // Duration from the DECODED frame count, not metadata guesswork.
+    assert(rows("a440")._1 == 1000L && rows("a100")._1 == 2000L && rows("silence")._1 == 500L)
+    // A sine's RMS is amp/sqrt(2); zero crossings = 2 per cycle.
+    assert(math.abs(rows("a440")._2 - 0.8 / math.sqrt(2)) < 0.01, rows("a440").toString)
+    assert(math.abs(rows("a100")._2 - 0.4 / math.sqrt(2)) < 0.01, rows("a100").toString)
+    assert(rows("silence")._2 == 0.0 && rows("silence")._3 == 0L)
+    assert(math.abs(rows("a440")._3 - 880L) <= 2, s"440 Hz x 2/cycle: ${rows("a440")._3}")
+    assert(math.abs(rows("a100")._3 - 400L) <= 2, s"100 Hz x 2/cycle: ${rows("a100")._3}")
+    // Non-audio bytes fail loudly (route compressed formats to the stub).
+    intercept[Exception] {
+      Seq(("bad", Array[Byte](1, 2, 3))).toDF("id", "bytes")
+        .select(MultiModal.audioFeatures(col("bytes"))).collect()
+    }
+  }
+
   test("audio/video stubs are deterministic and batch-shaped") {
     val t = TestFixtures.baseTable
     val df = t.scan().limit(10)

@@ -24,7 +24,7 @@ object Main {
   def main(argv: Array[String]): Unit = {
     if (argv.isEmpty) {
       System.err.println(
-        "verbs: gen | ingest | stats | snapshots | scan | lineage | metrics | compact | cluster | rewrite-manifests | expire | rollback | merge-demo | delete | dedup | transcode | evolve-schema | ivf-demo")
+        "verbs: gen | ingest | stats | snapshots | scan | lineage | metrics | compact | cluster | rewrite-manifests | expire | rollback | merge-demo | delete | dedup | transcode | evolve-schema | ivf-build | ivf-probe | ivf-demo")
       sys.exit(2)
     }
     val verb = argv.head
@@ -68,6 +68,35 @@ object Main {
           }
           println(s"appended snapshot=${snap.snapshotId} rows=$rows files=${snap.summary("added-files")} bytes=${snap.summary("added-bytes")}" +
             spec.map(sp => s" partitions=${snap.partitionValues.map(_.values.toSet.size).getOrElse(0)} (${sp.column}:${sp.transform})").getOrElse(""))
+        case "ivf-build" =>
+          // Production surface: build (or resume) the IVF index table at
+          // <root> from a parquet vector source.
+          //   ivf-build --root IDX --src DIR --seeds 1,61,121
+          //     [--id-col vec_id] [--vec-col embedding] [--iters 3]
+          //     [--target bytes] [--waves 1]
+          val src = spark.read.parquet(req(args, "src"))
+          val r = BuildIvf.run(spark, src,
+            arg(args, "id-col").getOrElse("vec_id"),
+            arg(args, "vec-col").getOrElse("embedding"),
+            root,
+            initIds = req(args, "seeds").split(',').toSeq.map(_.trim.toLong),
+            iters = arg(args, "iters").map(_.toInt).getOrElse(3),
+            targetBytes = arg(args, "target").map(_.toLong).getOrElse(8L * 1024 * 1024),
+            waves = arg(args, "waves").map(_.toInt).getOrElse(1))
+          println(s"ivf-build buckets=${r.k} rows=${r.rows} files=${r.files} " +
+            s"snapshot=${r.table.currentSnapshot.snapshotId}")
+        case "ivf-probe" =>
+          //   ivf-probe --root IDX --vec 1.0,0.0,... [--nprobe 2] [--topk 10]
+          val t = GraftTable.load(root, spark)
+          val q = req(args, "vec").split(',').map(_.trim.toDouble)
+          val nprobe = arg(args, "nprobe").map(_.toInt).getOrElse(2)
+          val topK = arg(args, "topk").map(_.toInt).getOrElse(10)
+          val probed = BuildIvf.probe(t, q, nprobe, topK).collect()
+          val opened = t.planFiles(Seq(EqLong("bucket", probed.headOption
+            .map(_.getLong(1)).getOrElse(0L)))).size
+          println(s"ivf-probe nprobe=$nprobe topk=$topK " +
+            s"firstBucketFiles=$opened/${t.currentFiles.size} " +
+            s"top=${probed.map(r => f"${r.getLong(0)}:${r.getDouble(2)}%.4f").mkString(",")}")
         case "ivf-demo" =>
           // IVF ANN index build + probe end-to-end at <root>: synthetic
           // planted-cluster vectors -> BuildIvf (k-means + bucket-partitioned

@@ -70,19 +70,32 @@ object Main {
             spec.map(sp => s" partitions=${snap.partitionValues.map(_.values.toSet.size).getOrElse(0)} (${sp.column}:${sp.transform})").getOrElse(""))
         case "ivf-build" =>
           // Production surface: build (or resume) the IVF index table at
-          // <root> from a parquet vector source.
-          //   ivf-build --root IDX --src DIR --seeds 1,61,121
+          // <root> from a parquet vector source — file-group-resumable
+          // (BuildIvf.runFiles): a killed build restarts at input-file-group
+          // granularity with no retraining and no re-read of finished units.
+          //   ivf-build --root IDX --src DIR|FILE --seeds 1,61,121
           //     [--id-col vec_id] [--vec-col embedding] [--iters 3]
-          //     [--target bytes] [--waves 1]
-          val src = spark.read.parquet(req(args, "src"))
-          val r = BuildIvf.run(spark, src,
+          //     [--target bytes] [--max-concurrent 8]
+          val src = req(args, "src")
+          val p = java.nio.file.Paths.get(src)
+          val files: Seq[String] =
+            if (java.nio.file.Files.isDirectory(p)) {
+              val listing = java.nio.file.Files.list(p)
+              try {
+                import scala.jdk.CollectionConverters._
+                listing.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet"))
+                  .map(_.toString).toSeq.sorted
+              } finally listing.close()
+            } else Seq(src)
+          val r = BuildIvf.runFiles(spark, files,
             arg(args, "id-col").getOrElse("vec_id"),
             arg(args, "vec-col").getOrElse("embedding"),
             root,
             initIds = req(args, "seeds").split(',').toSeq.map(_.trim.toLong),
             iters = arg(args, "iters").map(_.toInt).getOrElse(3),
             targetBytes = arg(args, "target").map(_.toLong).getOrElse(8L * 1024 * 1024),
-            waves = arg(args, "waves").map(_.toInt).getOrElse(1))
+            maxConcurrentUnits = arg(args, "max-concurrent").map(_.toInt).getOrElse(8))
           println(s"ivf-build buckets=${r.k} rows=${r.rows} files=${r.files} " +
             s"snapshot=${r.table.currentSnapshot.snapshotId}")
         case "ivf-probe" =>

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.expr.{functions => gf}
 import graft.lineage.{Lineage, Metrics, UnitLineage}
 import graft.operators.KMeans
-import graft.table.{EqLong, GraftTable, MetaIO, PartitionSpec}
+import graft.table.{DataFileMeta, EqLong, GraftTable, MetaIO, PartitionSpec}
 
 /**
  * IVF ANN index BUILD as a lakehouse table-maintenance job — the batch
@@ -39,14 +39,20 @@ import graft.table.{EqLong, GraftTable, MetaIO, PartitionSpec}
  *  - The bucket -> representative router is one O(1)-per-row codegen'd
  *    expression ([[graft.expr.IvfRep]]: binary search + salt hash), not an
  *    O(k) chained `when`.
- *  - LINEAGE-RESUMABLE: the trained centroids are the job's first durable
- *    artifact, and the routed write proceeds in bucket WAVES committed as
- *    lineage units — a killed 100 TB build resumes without retraining and
- *    without rewriting finished waves (the Compact/Cluster pattern). Waves
- *    trade resume granularity for read amplification (each wave re-scans
- *    the column-pruned input to keep its slice), so the default is 1 wave
- *    = a single full-scan write; a multi-day build picks waves such that
- *    one wave's worth of lost work is acceptable.
+ *  - LINEAGE-RESUMABLE, two unit shapes: the trained centroids are the
+ *    job's first durable artifact (a killed 100 TB build never retrains),
+ *    then
+ *      * [[runFiles]] (the production path for file-backed sources):
+ *        units are FFD-packed INPUT-FILE groups — each unit reads only
+ *        its own files (zero read amplification, the Compact/Cluster
+ *        shape), routes its slice bucket-pure, and units run overlapped
+ *        on a bounded pool. Cross-unit parallelism doubles as the
+ *        sub-bucket split: with unit capacity ~ k x targetBytes each
+ *        unit's per-bucket slice is ~one target-sized file.
+ *      * [[run]] (arbitrary DataFrames): units are LPT-balanced bucket
+ *        WAVES; each wave re-scans the (column-pruned) input to keep its
+ *        slice, so waves trade resume granularity for read amplification
+ *        — default 1 wave; prefer runFiles whenever the source is files.
  */
 object BuildIvf {
 
@@ -131,12 +137,127 @@ object BuildIvf {
       .repartition(total, col("__rep")).drop("__rep")
   }
 
+  // ------------------------------------------------------- shared phases
+
+  /** Full-job idempotence: a restart after the final commit is a no-op.
+    * Rows/files come from the BUILD's OWN snapshot summary (resolved by
+    * the marker's id — the current snapshot may already be a later
+    * append's); an expired build snapshot falls back to the lineage
+    * units' totals. No manifest re-read either way. */
+  private def completedResult(spark: SparkSession, root: String,
+      jid: String): Option[Result] =
+    Lineage.committedSnapshot(root, jid).map { sid =>
+      val t = GraftTable.load(root, spark)
+      val k = t.meta.properties(KProp).toInt
+      t.meta.snapshot(sid) match {
+        case Some(s) => Result(t, k,
+          s.summary.get("added-rows").map(_.toLong).getOrElse(0L),
+          s.summary.get("added-files").map(_.toInt).getOrElse(0))
+        case None =>
+          val units = Lineage.committedUnits(root, jid).values
+          Result(t, k, units.map(_.rows).sum, units.map(_.filesOut.size).sum)
+      }
+    }
+
+  /** Cheap pre-training refusal: a table at root that already has a
+    * committed snapshot, with NO fit artifact for this jobId, is either a
+    * foreign table or an index built with different parameters — fail now
+    * rather than after a (100 TB-scale) training pass. The in-flight and
+    * raced-commit resume cases both have the artifact (it is written
+    * before any unit runs); attachTable re-validates with the centroids. */
+  private def preTrainingGuard(spark: SparkSession, root: String,
+      jid: String): Unit =
+    if (MetaIO.currentVersion(root).isDefined &&
+        Lineage.getArtifact(root, jid, FitArtifact).isEmpty &&
+        GraftTable.load(root, spark).meta.currentSnapshotId.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$root already holds a committed index built with different " +
+          s"parameters; delete it or re-run with the original arguments")
+
+  /** Phase 1 (resumable): train, or reuse the persisted fit — the first
+    * committed artifact, so a killed build never retrains. */
+  private def fitOrResume(vectors: => DataFrame,
+      idCol: String, vecCol: String, initIds: Seq[Long], iters: Int,
+      root: String, jid: String): (Seq[(Long, Array[Long])], Map[Long, Long]) =
+    Lineage.getArtifact(root, jid, FitArtifact) match {
+      case Some(txt) =>
+        val lines = txt.split('\n')
+        (decodeCentroids(lines(0)),
+          if (lines.length > 1) decodeSizes(lines(1)) else Map.empty[Long, Long])
+      case None =>
+        val tFit = System.nanoTime()
+        val fit = KMeans.fit(vectors, vecCol, idCol, initIds, iters)
+        Metrics.recordJob(root, "kmeans-fit",
+          (System.nanoTime() - tFit) / 1000000,
+          Map("k" -> fit.centroids.size.toString, "iters" -> iters.toString))
+        Lineage.putArtifact(root, jid, FitArtifact,
+          encodeCentroids(fit.centroids) + "\n" + encodeSizes(fit.sizes))
+        (fit.centroids, fit.sizes)
+    }
+
+  /** Phase 2: the index table — fresh create, or reattach to the in-flight
+    * build's metadata (created before the kill). The centroid property
+    * guards against resuming into an unrelated table at the same root;
+    * returns Left when our own commit raced the kill (snapshot durable,
+    * marker not yet written) so the caller recognizes it instead of
+    * appending a duplicate. */
+  private def attachTable(spark: SparkSession, root: String, jid: String,
+      sorted: Seq[(Long, Array[Long])]): Either[Result, GraftTable] = {
+    val k = sorted.size
+    if (MetaIO.currentVersion(root).isDefined) {
+      val ex = GraftTable.load(root, spark)
+      require(ex.meta.properties.get(CentroidsProp)
+          .contains(encodeCentroids(sorted)),
+        s"$root holds a different table; refusing to resume an IVF build into it")
+      ex.meta.currentSnapshot
+        .filter(_.summary.get("job-id").contains(jid)).foreach { s =>
+          Lineage.markCommitted(root, jid, s.snapshotId)
+          return Left(Result(ex, k,
+            s.summary.get("added-rows").map(_.toLong).getOrElse(0L),
+            s.summary.get("added-files").map(_.toInt).getOrElse(0)))
+        }
+      // Any OTHER committed snapshot means the index was already built by
+      // a run with DIFFERENT parameters (the fit is deterministic, so
+      // matching centroids alone cannot distinguish jobs): proceeding
+      // would append every vector a second time. Only an in-flight build
+      // (no snapshot yet) is resumable here.
+      require(ex.meta.currentSnapshotId.isEmpty,
+        s"$root already holds a committed index built with different " +
+          s"parameters; delete it or re-run with the original arguments")
+      Right(ex)
+    } else Right(GraftTable.create(root, spark,
+      schemaDdl = "vec_id BIGINT, embedding ARRAY<FLOAT>, bucket BIGINT",
+      properties = Map(
+        CentroidsProp -> encodeCentroids(sorted),
+        KProp -> k.toString),
+      partitionSpec = Some(PartitionSpec("bucket", "identity"))))
+  }
+
+  /** Final phase: fold every committed unit's files into ONE snapshot,
+    * mark the job done, record metrics. */
+  private def finish(t: GraftTable, root: String, jid: String, k: Int,
+      jobT0: Long, detail: Map[String, String]): Result = {
+    val added = Lineage.committedUnits(root, jid).values.toSeq
+      .sortBy(_.unit).flatMap(_.filesOut)
+    val snap = t.commit("append", added, Set.empty,
+      summary = Map("job" -> "build-ivf", "job-id" -> jid))
+    Lineage.markCommitted(root, jid, snap.snapshotId)
+    Metrics.recordJob(root, "build-ivf",
+      (System.nanoTime() - jobT0) / 1000000, detail ++ Map(
+        "k" -> k.toString, "files" -> added.size.toString,
+        "rows" -> added.map(_.rowCount).sum.toString))
+    Result(t, k, added.map(_.rowCount).sum, added.size)
+  }
+
+  // ------------------------------------------------------------- entries
+
   /** Build the index table at `root` from `vectors` (idCol: long-castable
     * id, vecCol: float/double array). Deterministic end-to-end: the
     * fixed-point fit plus value-routed salted writes make a rebuild of the
     * same data byte-comparable. Resumable: re-invoking with identical
     * arguments after a kill reuses the persisted fit and every committed
-    * wave. */
+    * wave. Prefer [[runFiles]] for file-backed sources (its units avoid
+    * re-scanning the input). */
   def run(spark: SparkSession, vectors: DataFrame, idCol: String,
       vecCol: String, root: String, initIds: Seq[Long],
       iters: Int = 3, targetBytes: Long = 8L * 1024 * 1024,
@@ -149,99 +270,24 @@ object BuildIvf {
     val jid = Compact.jobId("build-ivf", 0L,
       s"$idCol|$vecCol|${initIds.sorted.mkString(",")}|$iters|$targetBytes|$waves",
       inputs)
-    // Full-job idempotence: a restart after the final commit is a no-op.
-    // Rows/files come from the BUILD's OWN snapshot summary (resolved by
-    // the marker's id — the current snapshot may already be a later
-    // append's); an expired build snapshot falls back to the lineage
-    // units' totals. No manifest re-read either way.
-    Lineage.committedSnapshot(root, jid).foreach { sid =>
-      val t = GraftTable.load(root, spark)
-      val k = t.meta.properties(KProp).toInt
-      t.meta.snapshot(sid) match {
-        case Some(s) => return Result(t, k,
-          s.summary.get("added-rows").map(_.toLong).getOrElse(0L),
-          s.summary.get("added-files").map(_.toInt).getOrElse(0))
-        case None =>
-          val units = Lineage.committedUnits(root, jid).values
-          return Result(t, k, units.map(_.rows).sum,
-            units.map(_.filesOut.size).sum)
-      }
-    }
+    completedResult(spark, root, jid).foreach(r => return r)
     Files.createDirectories(Paths.get(root))
-    // Cheap pre-training refusal: a table at root that already has a
-    // committed snapshot, with NO fit artifact for this jobId, is either a
-    // foreign table or an index built with different parameters — fail now
-    // rather than after a (100 TB-scale) training pass. The in-flight and
-    // raced-commit resume cases both have the artifact (it is written
-    // before any wave runs); phase 2 re-validates with the centroids.
-    if (MetaIO.currentVersion(root).isDefined &&
-        Lineage.getArtifact(root, jid, FitArtifact).isEmpty &&
-        GraftTable.load(root, spark).meta.currentSnapshotId.nonEmpty)
-      throw new IllegalArgumentException(
-        s"$root already holds a committed index built with different " +
-          s"parameters; delete it or re-run with the original arguments")
-
-    // Phase 1 (resumable): train, or reuse the persisted fit — the first
-    // committed artifact, so a killed build never retrains.
-    val (cents, sizes): (Seq[(Long, Array[Long])], Map[Long, Long]) =
-      Lineage.getArtifact(root, jid, FitArtifact) match {
-        case Some(txt) =>
-          val lines = txt.split('\n')
-          (decodeCentroids(lines(0)),
-            if (lines.length > 1) decodeSizes(lines(1)) else Map.empty[Long, Long])
-        case None =>
-          val tFit = System.nanoTime()
-          val fit = KMeans.fit(vectors, vecCol, idCol, initIds, iters)
-          Metrics.recordJob(root, "kmeans-fit",
-            (System.nanoTime() - tFit) / 1000000,
-            Map("k" -> fit.centroids.size.toString, "iters" -> iters.toString))
-          Lineage.putArtifact(root, jid, FitArtifact,
-            encodeCentroids(fit.centroids) + "\n" + encodeSizes(fit.sizes))
-          (fit.centroids, fit.sizes)
-      }
+    preTrainingGuard(spark, root, jid)
+    val (cents, sizes) =
+      fitOrResume(vectors, idCol, vecCol, initIds, iters, root, jid)
     val sorted = cents.sortBy(_._1)
     val k = sorted.size
     val sub = subBucketCounts(sorted, sizes, targetBytes)
-
-    // Phase 2: the index table — fresh create, or reattach to the in-flight
-    // build's metadata (created before the kill). The centroid property
-    // guards against resuming into an unrelated table at the same root.
-    val t =
-      if (MetaIO.currentVersion(root).isDefined) {
-        val ex = GraftTable.load(root, spark)
-        require(ex.meta.properties.get(CentroidsProp)
-            .contains(encodeCentroids(sorted)),
-          s"$root holds a different table; refusing to resume an IVF build into it")
-        // Commit raced the kill (snapshot durable, marker not yet written):
-        // recognize our own commit instead of appending a duplicate.
-        ex.meta.currentSnapshot
-          .filter(_.summary.get("job-id").contains(jid)).foreach { s =>
-            Lineage.markCommitted(root, jid, s.snapshotId)
-            return Result(ex, k,
-              s.summary.get("added-rows").map(_.toLong).getOrElse(0L),
-              s.summary.get("added-files").map(_.toInt).getOrElse(0))
-          }
-        // Any OTHER committed snapshot means the index was already built by
-        // a run with DIFFERENT parameters (the fit is deterministic, so
-        // matching centroids alone cannot distinguish jobs): proceeding
-        // would append every vector a second time. Only an in-flight build
-        // (no snapshot yet) is resumable here.
-        require(ex.meta.currentSnapshotId.isEmpty,
-          s"$root already holds a committed index built with different " +
-            s"parameters; delete it or re-run with the original arguments")
-        ex
-      } else GraftTable.create(root, spark,
-        schemaDdl = "vec_id BIGINT, embedding ARRAY<FLOAT>, bucket BIGINT",
-        properties = Map(
-          CentroidsProp -> encodeCentroids(sorted),
-          KProp -> k.toString),
-        partitionSpec = Some(PartitionSpec("bucket", "identity")))
+    val t = attachTable(spark, root, jid, sorted) match {
+      case Left(done) => return done
+      case Right(tbl) => tbl
+    }
 
     // Phase 3: routed writes in bucket waves (LPT-balanced by cluster size,
     // deterministic tie-break), each an independently resumable unit. Waves
-    // run SEQUENTIALLY — unlike Compact/Cluster units they all scan the
-    // same input, so overlapping them multiplies concurrent input reads
-    // without adding task-slot work.
+    // run SEQUENTIALLY — unlike runFiles' units they all scan the same
+    // input, so overlapping them multiplies concurrent input reads without
+    // adding task-slot work.
     val waveSets: Seq[Seq[Long]] = {
       val w = math.max(1, math.min(waves, k))
       if (w == 1) Seq(sorted.map(_._1))
@@ -275,18 +321,83 @@ object BuildIvf {
         (System.nanoTime() - tU) / 1000000))
       executed += 1
     }
+    finish(t, root, jid, k, jobT0, Map("waves" -> waveSets.size.toString))
+  }
 
-    val added = Lineage.committedUnits(root, jid).values.toSeq
-      .sortBy(_.unit).flatMap(_.filesOut)
-    val snap = t.commit("append", added, Set.empty,
-      summary = Map("job" -> "build-ivf", "job-id" -> jid))
-    Lineage.markCommitted(root, jid, snap.snapshotId)
-    Metrics.recordJob(root, "build-ivf",
-      (System.nanoTime() - jobT0) / 1000000, Map(
-        "k" -> k.toString, "waves" -> waveSets.size.toString,
-        "files" -> added.size.toString,
-        "rows" -> added.map(_.rowCount).sum.toString))
-    Result(t, k, added.map(_.rowCount).sum, added.size)
+  /** File-group-resumable build — the production 100 TB path for
+    * file-backed vector sources (and the CLI's). Units are FFD-packed
+    * groups of the input files, each read EXACTLY ONCE by its own unit
+    * (zero read amplification — the Compact/Cluster unit shape, unlike
+    * [[run]]'s waves which re-scan), routed bucket-pure and committed to
+    * lineage, overlapped on a bounded pool. Unit capacity is
+    * k x targetBytes, so each unit's expected per-bucket slice is one
+    * ~target-sized file and cross-unit parallelism doubles as the
+    * sub-bucket split; a skewed bucket's per-unit slice is still bounded
+    * by the unit size. Training still scans everything (that is the fit),
+    * and resumes from the persisted artifact like run(). */
+  def runFiles(spark: SparkSession, srcFiles: Seq[String], idCol: String,
+      vecCol: String, root: String, initIds: Seq[Long], iters: Int = 3,
+      targetBytes: Long = 8L * 1024 * 1024, maxConcurrentUnits: Int = 8,
+      failAfterUnits: Option[Int] = None): Result = {
+    val jobT0 = System.nanoTime()
+    require(srcFiles.nonEmpty, "no input files")
+    val jid = Compact.jobId("build-ivf-files", 0L,
+      s"$idCol|$vecCol|${initIds.sorted.mkString(",")}|$iters|$targetBytes",
+      srcFiles)
+    completedResult(spark, root, jid).foreach(r => return r)
+    Files.createDirectories(Paths.get(root))
+    preTrainingGuard(spark, root, jid)
+    val (cents, sizes) = fitOrResume(
+      spark.read.parquet(srcFiles: _*), idCol, vecCol, initIds, iters, root, jid)
+    val sorted = cents.sortBy(_._1)
+    val k = sorted.size
+    val t = attachTable(spark, root, jid, sorted) match {
+      case Left(done) => return done
+      case Right(tbl) => tbl
+    }
+
+    val metas = srcFiles.map(p =>
+      DataFileMeta(p, Files.size(Paths.get(p)), 0L, Map.empty))
+    val totalBytes = math.max(1L, metas.map(_.fileSizeBytes).sum)
+    val groups = Cluster.packGroups(metas, math.max(targetBytes, k.toLong * targetBytes))
+    // Per-unit sub-bucket counts: the global cluster-size profile scaled
+    // to the unit's byte fraction — m is ~1 at the chosen capacity, >1
+    // only for genuinely skewed buckets.
+    def unitSub(unitBytes: Long): Map[Long, Int] = subBucketCounts(sorted,
+      sizes.view.mapValues(n =>
+        math.max(1L, n * unitBytes / totalBytes)).toMap, targetBytes)
+
+    val already = Lineage.committedUnits(root, jid)
+    val executed = new java.util.concurrent.atomic.AtomicInteger(already.size)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrentUnits))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = groups.indices.filterNot(already.contains).map { gi =>
+        Future {
+          failAfterUnits.foreach { n =>
+            if (executed.incrementAndGet() > n)
+              throw new RuntimeException(s"injected failure after $n units")
+          }
+          val g = groups(gi)
+          val tU = System.nanoTime()
+          val src = spark.read.parquet(g.map(_.path): _*)
+          val out = t.writeDataFiles(route(assign(src, idCol, vecCol, sorted),
+            sorted.map(_._1).toArray, unitSub(g.map(_.fileSizeBytes).sum)))
+          Lineage.commitUnit(root, UnitLineage(jid, gi, g.map(_.path), out,
+            out.map(_.rowCount).sum, out.map(_.fileSizeBytes).sum,
+            (System.nanoTime() - tU) / 1000000))
+        }
+      }
+      // On a failed unit, stop QUEUED units from starting before
+      // rethrowing (the Cluster pattern): in-flight units finish and their
+      // commitUnit is idempotent for the resume.
+      try Await.result(Future.sequence(fs), Duration.Inf)
+      catch { case e: Throwable => pool.shutdownNow(); throw e }
+    } finally pool.shutdown()
+    finish(t, root, jid, k, jobT0, Map("units" -> groups.size.toString))
   }
 
   /** Incremental index maintenance: assign NEW vectors with the STORED

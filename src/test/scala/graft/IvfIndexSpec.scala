@@ -180,6 +180,66 @@ class IvfIndexSpec extends GraftSuite {
     assert(r2.rows == 180 && r2.files == r.files)
   }
 
+  test("runFiles: file-group units resume after a kill reading only their own files (no retrain, no amplification)") {
+    import scala.jdk.CollectionConverters._
+    val work = TestFixtures.workRoot.resolve("ivf-files")
+    val srcDir = work.resolve("src").toString
+    fixture(6).write.parquet(srcDir)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
+      .iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+    assert(files.size >= 4, s"need several source files: ${files.size}")
+    val root = work.resolve("idx").toString
+    // Tiny capacity (k=3 x 1 KB) so every source file lands in its own unit.
+    // Kill run uses a SEQUENTIAL pool so exactly one unit commits before
+    // the injected failure (a concurrent pool's shutdownNow may interrupt
+    // the in-flight unit — correct behavior, but nondeterministic here);
+    // the resume pools units (concurrency is not part of the job id).
+    def build(fail: Option[Int], mc: Int) = BuildIvf.runFiles(spark, files,
+      "vec_id", "embedding", root, initIds = Seq(1L, 61L, 121L),
+      targetBytes = 1024, maxConcurrentUnits = mc, failAfterUnits = fail)
+    intercept[RuntimeException] { build(fail = Some(1), mc = 1) }
+    val jdir = java.nio.file.Files.list(java.nio.file.Paths.get(root, "lineage"))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString != "_metrics").toList match {
+      case one :: Nil => one
+      case other => fail(s"expected one lineage job dir, got $other")
+    }
+    val jid = jdir.getFileName.toString
+    val unitsAfterKill = graft.lineage.Lineage.committedUnits(root, jid)
+    assert(unitsAfterKill.nonEmpty && unitsAfterKill.size < files.size,
+      s"kill left a partial unit set: ${unitsAfterKill.size}/${files.size}")
+    // Each unit's lineage records exactly ITS OWN input files — the zero-
+    // amplification contract (a wave-based unit would record none).
+    unitsAfterKill.values.foreach { u =>
+      assert(u.filesIn.nonEmpty && u.filesIn.toSet.subsetOf(files.toSet), u.toString)
+    }
+    val r = build(fail = None, mc = 2)
+    assert(r.rows == 180 && r.k == 3)
+    assert(graft.lineage.Metrics.events(root)
+      .count(e => e.kind == "job" && e.name == "kmeans-fit") == 1,
+      "resume must not retrain")
+    val units = graft.lineage.Lineage.committedUnits(root, jid)
+    assert(units.values.flatMap(_.filesIn).toSeq.sorted == files.sorted,
+      "every input file covered by exactly one unit")
+    // Bucket purity + valued manifests survive the file-group shape.
+    r.table.currentFiles.foreach { f =>
+      val st = f.stats("bucket")
+      assert(st.min.isDefined && st.min == st.max, s"mixed-bucket file: $f")
+    }
+    val snap = r.table.currentSnapshot
+    assert(snap.manifests.flatMap(snap.partitionOfManifest).size == snap.manifests.size)
+    assert(r.table.scan().select("vec_id").distinct().count() == 180)
+    // Probe correctness on the file-built index.
+    val got = BuildIvf.probe(r.table, Array(0.0, 0.0, 10.0, 0.0), nprobe = 1,
+      topK = 60).collect()
+    assert(got.map(_.getLong(0)).toSet == (121L to 180L).toSet)
+    // Idempotent re-run.
+    val r2 = build(fail = None, mc = 2)
+    assert(r2.table.currentSnapshot.snapshotId == r.table.currentSnapshot.snapshotId)
+  }
+
   test("probe: nprobe=1 on the separated fixture equals brute-force top-k") {
     val root = TestFixtures.workRoot.resolve("ivf-probe").toString
     val df = fixture(4)

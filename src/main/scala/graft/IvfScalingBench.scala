@@ -66,6 +66,18 @@ object IvfScalingBench {
     val results = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
     var centsSeen: Option[String] = None
 
+    // The timed build is the PRODUCTION path (runFiles: file-group units,
+    // zero read amplification) over the fixture's parquet files.
+    val srcFiles: Seq[String] = {
+      val listing = Files.list(Paths.get(srcDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString).toSeq.sorted
+      } finally listing.close()
+    }
+
     for (trial <- 1 to trials; cpus <- Seq(cpusA, cpusB)) {
       val spark = GraftSession.get(cpus)
       val src = spark.read.parquet(srcDir)
@@ -78,8 +90,9 @@ object IvfScalingBench {
       }
       val root = s"$work/ivf-tbl-$cpus-$trial"
       val t0 = System.nanoTime()
-      val r = BuildIvf.run(spark, src, "vec_id", "embedding", root,
-        initIds = 1L to k.toLong, iters = 3, targetBytes = targetBytes)
+      val r = BuildIvf.runFiles(spark, srcFiles, "vec_id", "embedding", root,
+        initIds = 1L to k.toLong, iters = 3, targetBytes = targetBytes,
+        maxConcurrentUnits = cpus)
       val sec = (System.nanoTime() - t0) / 1e9
       require(r.rows == rows, s"build lost rows: ${r.rows} of $rows")
       // Bit-reproducibility across parallelism: the stored quantizer is

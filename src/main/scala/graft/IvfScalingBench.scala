@@ -68,15 +68,7 @@ object IvfScalingBench {
 
     // The timed build is the PRODUCTION path (runFiles: file-group units,
     // zero read amplification) over the fixture's parquet files.
-    val srcFiles: Seq[String] = {
-      val listing = Files.list(Paths.get(srcDir))
-      try {
-        import scala.jdk.CollectionConverters._
-        listing.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(_.toString).toSeq.sorted
-      } finally listing.close()
-    }
+    val srcFiles: Seq[String] = graft.util.Fs.listParquet(srcDir)
 
     for (trial <- 1 to trials; cpus <- Seq(cpusA, cpusB)) {
       val spark = GraftSession.get(cpus)

@@ -76,18 +76,7 @@ object Main {
           //   ivf-build --root IDX --src DIR|FILE --seeds 1,61,121
           //     [--id-col vec_id] [--vec-col embedding] [--iters 3]
           //     [--target bytes] [--max-concurrent 8]
-          val src = req(args, "src")
-          val p = java.nio.file.Paths.get(src)
-          val files: Seq[String] =
-            if (java.nio.file.Files.isDirectory(p)) {
-              val listing = java.nio.file.Files.list(p)
-              try {
-                import scala.jdk.CollectionConverters._
-                listing.iterator().asScala
-                  .filter(_.getFileName.toString.endsWith(".parquet"))
-                  .map(_.toString).toSeq.sorted
-              } finally listing.close()
-            } else Seq(src)
+          val files = graft.util.Fs.listParquet(req(args, "src"))
           val r = BuildIvf.runFiles(spark, files,
             arg(args, "id-col").getOrElse("vec_id"),
             arg(args, "vec-col").getOrElse("embedding"),
@@ -105,11 +94,15 @@ object Main {
           val nprobe = arg(args, "nprobe").map(_.toInt).getOrElse(2)
           val topK = arg(args, "topk").map(_.toInt).getOrElse(10)
           val probed = BuildIvf.probe(t, q, nprobe, topK).collect()
-          val opened = t.planFiles(Seq(EqLong("bucket", probed.headOption
-            .map(_.getLong(1)).getOrElse(0L)))).size
-          println(s"ivf-probe nprobe=$nprobe topk=$topK " +
-            s"firstBucketFiles=$opened/${t.currentFiles.size} " +
-            s"top=${probed.map(r => f"${r.getLong(0)}:${r.getDouble(2)}%.4f").mkString(",")}")
+          if (probed.isEmpty)
+            println(s"ivf-probe nprobe=$nprobe topk=$topK no results")
+          else {
+            val opened = t.planFiles(
+              Seq(EqLong("bucket", probed.head.getLong(1)))).size
+            println(s"ivf-probe nprobe=$nprobe topk=$topK " +
+              s"firstBucketFiles=$opened/${t.currentFiles.size} " +
+              s"top=${probed.map(r => f"${r.getLong(0)}:${r.getDouble(2)}%.4f").mkString(",")}")
+          }
         case "ivf-demo" =>
           // IVF ANN index build + probe end-to-end at <root>: synthetic
           // planted-cluster vectors -> BuildIvf (k-means + bucket-partitioned

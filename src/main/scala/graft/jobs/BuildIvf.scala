@@ -362,12 +362,25 @@ object BuildIvf {
     val groups = Cluster.packGroups(metas, math.max(targetBytes, k.toLong * targetBytes))
     // Per-unit sub-bucket counts: the global cluster-size profile scaled
     // to the unit's byte fraction — m is ~1 at the chosen capacity, >1
-    // only for genuinely skewed buckets.
+    // only for genuinely skewed buckets. Double arithmetic: at 10^12 rows
+    // with multi-GB units, n * unitBytes overflows Long exactly for the
+    // skewed buckets the split exists to handle.
     def unitSub(unitBytes: Long): Map[Long, Int] = subBucketCounts(sorted,
       sizes.view.mapValues(n =>
-        math.max(1L, n * unitBytes / totalBytes)).toMap, targetBytes)
+        math.max(1L, (n.toDouble * unitBytes / totalBytes).toLong)).toMap,
+      targetBytes)
 
     val already = Lineage.committedUnits(root, jid)
+    // Resume soundness: the job id pins file PATHS but not sizes, and the
+    // FFD grouping orders by size — if a source file was rewritten between
+    // kill and resume, the recomputed groups no longer line up with the
+    // committed units' recorded inputs, and trusting the indices would
+    // ingest some files twice and others never. Fail loudly instead.
+    already.foreach { case (gi, u) =>
+      require(gi < groups.size && groups(gi).map(_.path).toSet == u.filesIn.toSet,
+        s"input files changed since the killed run (unit $gi's group no " +
+          s"longer matches its lineage); delete $root/lineage/$jid to rebuild")
+    }
     val executed = new java.util.concurrent.atomic.AtomicInteger(already.size)
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}

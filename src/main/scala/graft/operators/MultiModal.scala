@@ -75,6 +75,10 @@ object MultiModal {
     * per-payload work: embarrassingly parallel, no shuffle. */
   val audioFeatures = udf((b: Array[Byte]) => {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
+    // SQL null-in-null-out: a mixed-modality table's null audio payloads
+    // must not NPE the task (None -> null struct).
+    if (b == null) None
+    else {
     val in = AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(b))
     try {
@@ -103,9 +107,10 @@ object MultiModal {
         }
         val durationMs = (frames * 1000.0 / target.getSampleRate).toLong
         val rms = if (frames == 0) 0.0 else math.sqrt(sumSq / frames) / 32768.0
-        (durationMs, rms, zc)
+        Some((durationMs, rms, zc))
       } finally pcm.close()
     } finally in.close()
+    }
   })
 
   // ----------------------------------- audio (compressed) / video (STUBS)
@@ -116,27 +121,31 @@ object MultiModal {
     * pipeline shape (binary -> fixed feature schema) is real end-to-end.
     * Replace the body with a real decoder (e.g. ffmpeg bindings) when
     * available. */
-  val audioFeaturesStub = udf((b: Array[Byte]) => {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < b.length) { h = 31 * h + b(i); i += 1 }
-    val rng = new scala.util.Random(h)
-    val durationMs = 1000L + (math.abs(h) % 9000L) // fake duration
-    val rms = rng.nextDouble()
-    val zeroCrossings = rng.nextInt(10000).toLong
-    (durationMs, rms, zeroCrossings)
-  })
+  val audioFeaturesStub = udf((b: Array[Byte]) =>
+    if (b == null) None
+    else {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < b.length) { h = 31 * h + b(i); i += 1 }
+      val rng = new scala.util.Random(h)
+      val durationMs = 1000L + (math.abs(h) % 9000L) // fake duration
+      val rms = rng.nextDouble()
+      val zeroCrossings = rng.nextInt(10000).toLong
+      Some((durationMs, rms, zeroCrossings))
+    })
 
   /** STUB video frame sampler: emits k deterministic per-frame signatures
     * (64-bit) derived from (payload, frameIdx). Real implementation would
     * decode container + keyframes; the explode/posexplode downstream shape
     * is the real one. */
-  val videoFrameSigsStub = udf((b: Array[Byte], k: Int) => {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < b.length) { h = 31 * h + b(i); i += 1 }
-    (0 until k).map(f => h ^ (0x9e3779b97f4a7c15L * (f + 1))).toArray
-  })
+  val videoFrameSigsStub = udf((b: Array[Byte], k: Int) =>
+    if (b == null) None
+    else {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < b.length) { h = 31 * h + b(i); i += 1 }
+      Some((0 until k).map(f => h ^ (0x9e3779b97f4a7c15L * (f + 1))).toArray)
+    })
 
   // --------------------------------------------------------------- pipelines
 

@@ -15,4 +15,20 @@ object Fs {
       .forEach(f => { Files.deleteIfExists(f); () })
     finally walk.close()
   }
+
+  /** Sorted *.parquet files directly under `dir`; a plain-file `dir` is
+    * returned as itself (the one-file dataset case). The single listing
+    * implementation behind BuildIvf.runFiles call sites — extend here
+    * (hidden-file filtering, recursion) rather than per caller. */
+  def listParquet(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!Files.isDirectory(p)) return Seq(dir)
+    val listing = Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+    } finally listing.close()
+  }
 }

@@ -185,9 +185,7 @@ class IvfIndexSpec extends GraftSuite {
     val work = TestFixtures.workRoot.resolve("ivf-files")
     val srcDir = work.resolve("src").toString
     fixture(6).write.parquet(srcDir)
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
-      .iterator().asScala.map(_.toString)
-      .filter(_.endsWith(".parquet")).toSeq.sorted
+    val files = graft.util.Fs.listParquet(srcDir)
     assert(files.size >= 4, s"need several source files: ${files.size}")
     val root = work.resolve("idx").toString
     // Tiny capacity (k=3 x 1 KB) so every source file lands in its own unit.

@@ -72,11 +72,15 @@ class MultiModalStreamingSpec extends GraftSuite {
     assert(rows("silence")._2 == 0.0 && rows("silence")._3 == 0L)
     assert(math.abs(rows("a440")._3 - 880L) <= 2, s"440 Hz x 2/cycle: ${rows("a440")._3}")
     assert(math.abs(rows("a100")._3 - 400L) <= 2, s"100 Hz x 2/cycle: ${rows("a100")._3}")
-    // Non-audio bytes fail loudly (route compressed formats to the stub).
+    // Non-audio bytes fail loudly (route compressed formats to the stub);
+    // a NULL payload — the normal mixed-modality shape — is SQL null-out.
     intercept[Exception] {
       Seq(("bad", Array[Byte](1, 2, 3))).toDF("id", "bytes")
         .select(MultiModal.audioFeatures(col("bytes"))).collect()
     }
+    val nul = Seq(("none", null.asInstanceOf[Array[Byte]])).toDF("id", "bytes")
+      .select(MultiModal.audioFeatures(col("bytes"))).head()
+    assert(nul.isNullAt(0), "null payload must yield a null feature struct")
   }
 
   test("audio/video stubs are deterministic and batch-shaped") {

@@ -36,8 +36,8 @@ object IvfScalingBench {
     val cpusB = if (args.length > 6) args(6).toInt else 8
     // Default the work dir (and spark.local.dir) onto /dev/shm when
     // present: shuffle on the VM's /tmp disk saturates ~8 threads and the
-    // run measures the disk, not the engine (the CLAUDE.md scaling-bench
-    // rule; same reasoning as ScalingBench).
+    // run measures the disk, not the engine (the SCALING.md /dev/shm rule;
+    // same reasoning as ScalingBench).
     val work = if (args.length > 7) { Files.createDirectories(Paths.get(args(7))); args(7) }
       else if (Files.isDirectory(Paths.get("/dev/shm")))
         Files.createTempDirectory(Paths.get("/dev/shm"), "graft-ivf-scaling").toString

@@ -128,12 +128,20 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rn"))
     }),
 
-    // U1/J5 union + dedup (querying/pipeline.ts:193-205).
+    // U1/J5 union + dedup (querying/pipeline.ts:193-205). The dedup is a
+    // two-column distinct (exactly the oracle's SELECT DISTINCT shape):
+    // o_orderpriority is functionally dependent on the key, so this equals
+    // the earlier dropDuplicates("o_orderkey") — but a key-only distinct
+    // runs as a HashAggregate, where dropDuplicates carried the priority
+    // through a first() STRING buffer that forced Sort + SortAggregate on
+    // both sides of the exchange, and the union branches now shuffle two
+    // columns instead of every order column (guide §2.3 project-early).
     "q09_union_dedup" -> ((s, d) => {
       val o = ld(s, d, "orders")
       o.filter(col("o_orderstatus") === "F")
         .unionByName(o.filter(col("o_totalprice") > 100000))
-        .dropDuplicates("o_orderkey")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .distinct()
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
     }),
 
@@ -153,15 +161,23 @@ object SparkEntry {
         round(max(col("c_acctbal")), 2).as("top_acctbal"))),
 
     // A8/G5 refcount after removing deleted refs (indexing/pipeline.ts:276-297):
-    // live refs per supplier once 'F' orders are deleted.
+    // live refs per supplier once 'F' orders are deleted. The live-ref
+    // count is aggregated BEFORE the supplier join (guide §2.3
+    // aggregate-before-shuffle): join key = group key, so per-supplier
+    // counts are identical, but the supplier side now joins (broadcast, no
+    // shuffle) against <= #suppliers pre-counted rows instead of every
+    // surviving lineitem row — the earlier left-outer shipped the whole
+    // semi-join result (one row PER LINEITEM) into the supplier join.
+    // s_suppkey is the supplier PK (one row out per supplier either way).
     "q12_refcount" -> ((s, d) => {
       val li = ld(s, d, "lineitem")
       val live = ld(s, d, "orders").filter(col("o_orderstatus") =!= "F")
-      ld(s, d, "supplier").as("s")
-        .join(li.join(live, col("l_orderkey") === col("o_orderkey"), "left_semi").as("r"),
-          col("s.s_suppkey") === col("r.l_suppkey"), "left_outer")
-        .groupBy(col("s.s_suppkey").as("s_suppkey"))
-        .agg(count(col("r.l_orderkey")).as("live_refs"))
+      val refs = li
+        .join(live, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("__refs"))
+      ld(s, d, "supplier")
+        .join(broadcast(refs), col("s_suppkey") === col("l_suppkey"), "left_outer")
+        .select(col("s_suppkey"), coalesce(col("__refs"), lit(0L)).as("live_refs"))
     }),
 
     // C5 regex extract (querying/pipeline.ts:235-236).
@@ -238,18 +254,17 @@ object SparkEntry {
       agg.select(col("doc_id"), sim.as("simhash"))
     }),
 
-    // Brute-force cosine top-k ANN (baseline; query = vec_id 0).
+    // Brute-force cosine top-k ANN (baseline; query = vec_id 0). The cosine
+    // is the codegen'd CosineSimFF kernel — one fused pass per row replacing
+    // three interpreted higher-order traversals (zip_with dot + two
+    // aggregate norms; same swap the IVF build measured at 14.7x), with the
+    // composed form's float-precision products preserved bit-for-bit
+    // (CosineKernelSpec pins the equivalence, oracle unchanged).
     "q21_ann_topk" -> ((s, d) => {
       val e = ld(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .withColumn("dot", aggregate(zip_with(col("embedding"), col("qv"),
-          (x, y) => x * y), lit(0.0d), (acc, v) => acc + v))
-        .withColumn("na", sqrt(aggregate(col("embedding"), lit(0.0d),
-          (acc, v) => acc + v * v)))
-        .withColumn("nb", sqrt(aggregate(col("qv"), lit(0.0d),
-          (acc, v) => acc + v * v)))
-        .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 4))
+        .withColumn("cos", round(gf.cosine_sim_ff(col("embedding"), col("qv")), 4))
         .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
         .select(col("vec_id"), col("cos"))
     }),
@@ -371,19 +386,22 @@ object SparkEntry {
     // each partition scans its rows once against 8 constants.
     "q34_ivf_topk" -> ((s, d) => {
       val e = ld(s, d, "embeddings")
-      def cosLit(v: Column, cv: Array[Double], scale: Int): Column = {
-        val arr = array(cv.toIndexedSeq.map(x => lit(x)): _*)
-        round(
-          aggregate(zip_with(v, arr, (x, y) => x * y), lit(0.0d), (a, x) => a + x)
-            / (sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
-               * lit(math.sqrt(cv.map(x => x * x).sum))), scale)
-      }
+      // Codegen'd CosineSimLit kernel: one fused pass replacing the
+      // interpreted zip_with/aggregate pair per centroid per row. The
+      // kernel replicates the literal-centroid arithmetic exactly (double
+      // dot products, FLOAT-precision row-norm squares — see CosineSimLit
+      // scaladoc), so the assignment/tie-break and the DuckDB oracle are
+      // unchanged.
+      def cosLit(v: Column, cv: Array[Double], scale: Int): Column =
+        round(gf.cosine_sim_lit(v, cv, math.sqrt(cv.map(x => x * x).sum)), scale)
       // Memo key includes the input FILE LIST, not just the dir: a
       // regenerated fixture at the same path (new part-file names) must
       // invalidate the cached fit, or q34 would silently score against a
       // stale quantizer while the oracle re-trains on the actual files.
+      // The FULL sorted list is the key (a 32-bit hashCode of it could
+      // collide across regenerated fixtures and silently reuse a stale fit).
       val memoKey = d + "#" +
-        scala.util.Try(e.inputFiles.sorted.mkString("|")).getOrElse("").hashCode
+        scala.util.Try(e.inputFiles.sorted.mkString("|")).getOrElse("")
       val cents = q34Fit.computeIfAbsent(memoKey, _ =>
         graft.operators.KMeans
           .fit(e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
@@ -422,8 +440,6 @@ object SparkEntry {
     // degenerates to O(N^2 / buckets).
     "q35_embed_neardup" -> ((s, d) => {
       val e = ld(s, d, "embeddings")
-        .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0d),
-          (acc, v) => acc + v * v)))
       def bucketOf(b: Int): Column = (0 until NearDupBandBits).map(j =>
         when(element_at(col("embedding"), b * NearDupBandBits + j + 1) > 0,
           lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
@@ -434,14 +450,14 @@ object SparkEntry {
       val r = banded.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
       val cand = l.join(r, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
-      val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("va"),
-        col("nrm").as("na"))
-      val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
-        col("nrm").as("nb"))
+      val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      // Fused codegen'd cosine (CosineSimFF) recomputes the norms inside
+      // the kernel with the composed form's exact arithmetic, so the
+      // precomputed `nrm` column — and its per-row interpreted aggregate,
+      // plus the two norm doubles carried through both joins — is gone.
       cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
-        .withColumn("cos", round(
-          aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-            lit(0.0d), (acc, v) => acc + v) / (col("na") * col("nb")), 4))
+        .withColumn("cos", round(gf.cosine_sim_ff(col("va"), col("vb")), 4))
         .filter(col("cos") >= 0.3)
         .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc).limit(20)
         .select(col("a_id"), col("b_id"), col("cos"))
@@ -449,23 +465,19 @@ object SparkEntry {
 
     // Document fingerprinting by winnowing: 3-word shingles -> rolling md5
     // hashes -> per-position window minimum (w=4) -> distinct fingerprints
-    // per doc. Window functions only — one shuffle on doc_id, no UDFs.
-    "q36_winnow_fp" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val winnow = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.currentRow, 3)
-      ld(s, d, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .withColumn("sh", concat(col("w"), lit(" "),
-          lead(col("w"), 1).over(byDoc), lit(" "), lead(col("w"), 2).over(byDoc)))
-        .filter(col("sh").isNotNull)
-        .withColumn("fp", min(md5(col("sh"))).over(winnow))
-        .select(col("doc_id"), col("fp")).distinct()
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("fp_min"),
-          max(col("fp")).as("fp_max"))
-    }),
+    // per doc. Winnowing never crosses documents, so the whole computation
+    // runs as ONE codegen'd per-row kernel (expr.WinnowFp) — the earlier
+    // window-function form exploded every token and paid a corpus-wide
+    // Exchange + sort + two Window passes for what is a map-side operation
+    // (guide §8/§2.4; WinnowKernelSpec pins kernel == window form; the
+    // DuckDB oracle still replays the window formulation independently).
+    // Zero exchanges at any corpus size.
+    "q36_winnow_fp" -> ((s, d) => ld(s, d, "documents")
+      .select(col("doc_id"),
+        gf.winnow_fp(col("text"), shingle = 3, window = 4).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), col("w.n_fp").as("n_fp"),
+        col("w.fp_min").as("fp_min"), col("w.fp_max").as("fp_max"))),
 
     // Hybrid mode dispatch (reference querying/pipeline.ts:166-173): parallel
     // local (vector) + global (keyword) retrieval with the ceil(0.3k)/rest
@@ -478,12 +490,10 @@ object SparkEntry {
       val kGlobal = HybridK - kLocal
       val e = ld(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // Same codegen'd CosineSimFF swap as q21 (exact composed-form
+      // arithmetic — see the kernel scaladoc).
       val local = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .withColumn("cos", round(
-          aggregate(zip_with(col("embedding"), col("qv"), (x, y) => x * y),
-            lit(0.0d), (acc, v) => acc + v) /
-          (sqrt(aggregate(col("embedding"), lit(0.0d), (acc, v) => acc + v * v)) *
-           sqrt(aggregate(col("qv"), lit(0.0d), (acc, v) => acc + v * v))), 4))
+        .withColumn("cos", round(gf.cosine_sim_ff(col("embedding"), col("qv")), 4))
         .orderBy(col("cos").desc, col("vec_id").asc).limit(kLocal)
         // lit(1) partition: <= k rows post-limit, and it silences the
         // all-data-to-one-partition WARN that buries real warnings.

@@ -251,6 +251,129 @@ case class CosineSim(child: Expression, q: Array[Double], qNorm: Double)
     copy(child = c)
 }
 
+/**
+ * Cosine similarity of two float/double array COLUMNS in one codegen'd pass
+ * — the query-surface twin of [[CosineSim]] for the case where both vectors
+ * are table-side (q21/q35/q37's brute-force and near-dup cosines). The
+ * composed form paid three INTERPRETED higher-order traversals per row
+ * (`aggregate(zip_with(a, b, *))` dot + two `aggregate` norms, one boxed
+ * lambda per element); this is one tight loop inside whole-stage codegen.
+ *
+ * ARITHMETIC CONTRACT (oracle-pinned, CosineKernelSpec): bit-identical to
+ * the composed form it replaces. For float arrays the per-element products
+ * x*y and squares x*x are computed AT FLOAT PRECISION (Spark's
+ * Multiply(float, float) = float — [[CosineSim]] widens first, which is a
+ * DIFFERENT rounding) and then widened into ascending-index IEEE double
+ * accumulators, exactly like `aggregate(..., 0.0d, (acc, v) => acc + v)`.
+ * Final value = dot / (sqrt(na2) * sqrt(nb2)), the same op order as
+ * `dot / (sqrt_a * sqrt_b)`.
+ */
+case class CosineSimFF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def floatOf(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim_ff expects array<float|double>, got $other")
+  }
+  private lazy val isFloat: Boolean = {
+    val (l, r) = (floatOf(left), floatOf(right))
+    require(l == r, "cosine_sim_ff requires both sides the same element type")
+    l
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprOps.cosineSimFF(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprOps.cosineSimFF($a, $b, $isFloat)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimFF =
+    copy(left = l, right = r)
+}
+
+/**
+ * Cosine similarity of a float/double array column against a DRIVER-held
+ * DOUBLE vector, replicating q34's literal-centroid form bit-for-bit: the
+ * dot's products are double (Spark promotes float x double), but the row
+ * norm's squares stay AT FLOAT PRECISION for float arrays (`x * x` in the
+ * composed `aggregate` was Multiply(float, float)) — which is why
+ * [[CosineSim]] (double squares, the IVF serving kernel) cannot be used
+ * here without perturbing the oracle-pinned rounding. Final value =
+ * dot / (sqrt(na2) * qNorm), `qNorm` precomputed driver-side exactly as the
+ * composed form's `lit(sqrt(sum of double squares))`.
+ */
+case class CosineSimLit(child: Expression, q: Array[Double], qNorm: Double)
+    extends UnaryExpression {
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim_lit expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.cosineSimLit(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat, q, qNorm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qr = ctx.addReferenceObj("q", q, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expr.ExprOps.cosineSimLit($v, $isFloat, $qr, ${qNorm}D)")
+  }
+  override protected def withNewChildInternal(c: Expression): CosineSimLit =
+    copy(child = c)
+}
+
+/**
+ * Per-document winnowing fingerprint summary (q36's hot path) as ONE
+ * codegen'd pass over the text: tokens -> `shingle`-word shingles ->
+ * rolling md5 -> per-position minimum over a forward window of `window`
+ * shingles -> distinct fingerprints -> (n_fp, fp_min, fp_max).
+ *
+ * This is a pure per-document computation, which the relational form could
+ * not express without a full corpus-wide token shuffle: posexplode every
+ * word, Exchange hashpartitioning(doc_id), sort, two Window passes, then
+ * distinct + aggregate (guide §8: use what you know that the optimizer
+ * does not — winnowing never crosses documents). The kernel keeps the scan
+ * map-side only: zero exchanges at ANY corpus size.
+ *
+ * SEMANTICS CONTRACT (WinnowKernelSpec pins it against the window-function
+ * formulation; the DuckDB oracle replays the window form independently):
+ *  - tokens = java String.split(" ", -1), identical to Spark's
+ *    split(text, " ") (same regex engine, same empty-trailing handling);
+ *  - shingle_p = tok_p + " " + ... for p in 0..n-shingle (absent if
+ *    n < shingle: lead() returned null there and the row was filtered);
+ *  - fp_p = min md5 hex over shingles p..p+window-1 capped at the last
+ *    shingle (ROWS BETWEEN CURRENT ROW AND window-1 FOLLOWING), compared
+ *    in UTF8String byte order (md5 hex is ASCII, so String order agrees);
+ *  - result = (count of DISTINCT fp, min fp, max fp); NULL when the doc
+ *    has no shingles (those doc_ids were absent from the window form).
+ *
+ * Marked NON-deterministic purely to stop the optimizer pushing the
+ * null-filter below the projection and re-evaluating the kernel per
+ * reference (guide §4.4); the function itself is pure.
+ */
+case class WinnowFp(child: Expression, shingle: Int, window: Int)
+    extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_fp", LongType),
+    StructField("fp_min", StringType),
+    StructField("fp_max", StringType)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.winnowFp(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingle, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expr.ExprOps.winnowFp($c, $shingle, $window);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): WinnowFp =
+    copy(child = c)
+}
+
 /** Static helpers referenced from generated code. */
 object ExprOps {
   /** Bucket of `v` given ascending boundaries: the count of bounds <= v. */
@@ -334,6 +457,142 @@ object ExprOps {
     dot / (math.sqrt(nrm) * qNorm)
   }
 
+  /** See [[CosineSimFF]]: float products/squares widened into double
+    * accumulators (double path: plain double ops) — the composed
+    * zip_with/aggregate arithmetic, exactly. */
+  def cosineSimFF(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean): Double = {
+    requireDense(a)
+    requireDense(b)
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim_ff: length mismatch ${n} vs ${b.numElements()}")
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        val x = a.getFloat(i)
+        val y = b.getFloat(i)
+        dot += (x * y) // float multiply, THEN widen — matches Multiply(float,float)
+        na += (x * x)
+        nb += (y * y)
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = a.getDouble(i)
+        val y = b.getDouble(i)
+        dot += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** See [[CosineSimLit]]: double products (float widened x double literal),
+    * float-precision squares for the row norm. */
+  def cosineSimLit(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean, q: Array[Double], qNorm: Double): Double = {
+    requireDense(v)
+    val n = v.numElements()
+    if (n != q.length)
+      throw new IllegalArgumentException(
+        s"cosine_sim_lit: vector has $n dims, query has ${q.length}")
+    var dot = 0.0
+    var na = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        val x = v.getFloat(i)
+        dot += x.toDouble * q(i)
+        na += (x * x) // float multiply, THEN widen
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = v.getDouble(i)
+        dot += x * q(i)
+        na += x * x
+        i += 1
+      }
+    }
+    dot / (math.sqrt(na) * qNorm)
+  }
+
+  private val md5Digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** See [[WinnowFp]]. Returns null when the doc has fewer than `shingle`
+    * tokens (no shingles — the window form emitted no rows). */
+  def winnowFp(text: org.apache.spark.unsafe.types.UTF8String,
+      shingle: Int, window: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val m = toks.length - (shingle - 1) // number of shingles
+    if (m <= 0) return null
+    val md5s = new Array[String](m)
+    val sb = new java.lang.StringBuilder
+    var p = 0
+    while (p < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingle) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(p + j))
+        j += 1
+      }
+      md5s(p) = md5Hex(sb.toString)
+      p += 1
+    }
+    // Per-position forward-window minimum, distinct, global min/max. md5
+    // hex is ASCII so String.compareTo == UTF8String byte order.
+    val seen = new java.util.HashSet[String]()
+    var fpMin: String = null
+    var fpMax: String = null
+    p = 0
+    while (p < m) {
+      var best = md5s(p)
+      var j = p + 1
+      val hi = math.min(p + window - 1, m - 1)
+      while (j <= hi) {
+        if (md5s(j).compareTo(best) < 0) best = md5s(j)
+        j += 1
+      }
+      if (seen.add(best)) {
+        if (fpMin == null || best.compareTo(fpMin) < 0) fpMin = best
+        if (fpMax == null || best.compareTo(fpMax) > 0) fpMax = best
+      }
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      seen.size.toLong,
+      org.apache.spark.unsafe.types.UTF8String.fromString(fpMin),
+      org.apache.spark.unsafe.types.UTF8String.fromString(fpMax))
+  }
+
   /** See [[IvfRep]]: representative of (bucket `cid`, sub-bucket chosen by
     * `salt`). The salt hash uses the same Murmur3 family as the partitioner
     * but only to PICK within the block — the rep value then lands the row at
@@ -396,6 +655,17 @@ object functions {
   /** Codegen'd cosine against a driver-held query (see [[CosineSim]]). */
   def cosine_sim(vec: Column, q: Array[Double], qNorm: Double): Column =
     c(CosineSim(e(vec), q, qNorm))
+  /** Codegen'd column-vs-column cosine, composed-HOF arithmetic
+    * (see [[CosineSimFF]]). */
+  def cosine_sim_ff(a: Column, b: Column): Column = c(CosineSimFF(e(a), e(b)))
+  /** Codegen'd cosine against a driver-held DOUBLE literal vector with
+    * float-precision row-norm squares (see [[CosineSimLit]]). */
+  def cosine_sim_lit(vec: Column, q: Array[Double], qNorm: Double): Column =
+    c(CosineSimLit(e(vec), q, qNorm))
+  /** Codegen'd per-document winnowing fingerprint summary
+    * (see [[WinnowFp]]). */
+  def winnow_fp(text: Column, shingle: Int, window: Int): Column =
+    c(WinnowFp(e(text), shingle, window))
 
   /** Hamming distance between two phash values — composed from built-ins
     * (stays fully codegen'd). */

@@ -133,4 +133,106 @@ class ExprKernelsSpec extends GraftSuite {
     assert(pidsPerBucket(5L) == 2 && pidsPerBucket(42L) == 3 && pidsPerBucket(9L) == 1,
       s"sub-bucket spread: $pidsPerBucket")
   }
+
+  // ------------------------------------------------------- round-7 kernels
+
+  /** Deterministic pseudo-random vectors (no fixture dependency). */
+  private def pseudoVecs(n: Int, dims: Int): Seq[(Long, Seq[Float])] =
+    (1 to n).map { i =>
+      (i.toLong, (0 until dims).map(d =>
+        (((i * 31 + d * 17) % 97) - 48) / 13.0f))
+    }
+
+  test("cosine_sim_ff is bit-identical to the composed zip_with/aggregate cosine (float and double)") {
+    import spark.implicits._
+    val df = pseudoVecs(64, 33).toDF("id", "vf")
+      .withColumn("vd", col("vf").cast("array<double>"))
+    // Pair each row with a shifted copy of itself so both sides are columns.
+    val a = df.select(col("id"), col("vf").as("af"), col("vd").as("ad"))
+    val b = df.select((col("id") - 1).as("id"), col("vf").as("bf"), col("vd").as("bd"))
+    def composed(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v) /
+        (sqrt(aggregate(x, lit(0.0d), (acc, v) => acc + v * v)) *
+         sqrt(aggregate(y, lit(0.0d), (acc, v) => acc + v * v)))
+    val rows = a.join(b, "id")
+      .select(
+        gf.cosine_sim_ff(col("af"), col("bf")).as("kf"),
+        composed(col("af"), col("bf")).as("cf"),
+        gf.cosine_sim_ff(col("ad"), col("bd")).as("kd"),
+        composed(col("ad"), col("bd")).as("cd"))
+      .collect()
+    assert(rows.length == 63)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"float path: kernel ${r.getDouble(0)} != composed ${r.getDouble(1)}")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        s"double path: kernel ${r.getDouble(2)} != composed ${r.getDouble(3)}")
+    }
+  }
+
+  test("cosine_sim_lit is bit-identical to the composed literal-vector cosine (q34's cosLit)") {
+    import spark.implicits._
+    val dims = 29
+    val cv: Array[Double] = (0 until dims).map(d => ((d * 7) % 19 - 9) / 7.0).toArray
+    val qNorm = math.sqrt(cv.map(x => x * x).sum)
+    val df = pseudoVecs(64, dims).toDF("id", "vf")
+    val arr = array(cv.toIndexedSeq.map(x => lit(x)): _*)
+    val composed =
+      aggregate(zip_with(col("vf"), arr, (x, y) => x * y), lit(0.0d), (a, x) => a + x) /
+        (sqrt(aggregate(col("vf"), lit(0.0d), (a, x) => a + x * x)) * lit(qNorm))
+    val rows = df.select(
+      gf.cosine_sim_lit(col("vf"), cv, qNorm).as("k"), composed.as("c")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"kernel ${r.getDouble(0)} != composed ${r.getDouble(1)}")
+    }
+  }
+
+  test("winnow_fp equals the window-function winnowing formulation, including edge docs") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val words = Vector("the", "quick", "fox", "jumps", "over", "lazy", "dog",
+      "a", "b", "repeated", "")
+    // Deterministic docs incl. degenerate shapes: empty text, 1 and 2
+    // tokens (no shingles -> absent), double spaces (empty tokens), heavy
+    // repetition (distinct-fp collapse).
+    val docs = ((1 to 40).map { i =>
+      val n = 1 + (i * 13) % 40
+      (i.toLong, (0 until n).map(j => words((i * 7 + j * 5) % words.size)).mkString(" "))
+    } ++ Seq((101L, ""), (102L, "one"), (103L, "two words"),
+      (104L, "three word doc"), (105L, "x x x x x x x x"))).toDF("doc_id", "text")
+    // The replaced window-function formulation, verbatim.
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val winnow = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, 3)
+    val windowed = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("sh", concat(col("w"), lit(" "),
+        lead(col("w"), 1).over(byDoc), lit(" "), lead(col("w"), 2).over(byDoc)))
+      .filter(col("sh").isNotNull)
+      .withColumn("fp", min(md5(col("sh"))).over(winnow))
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("fp_min"),
+        max(col("fp")).as("fp_max"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3)))
+      .toMap
+    val kernel = docs
+      .select(col("doc_id"), gf.winnow_fp(col("text"), shingle = 3, window = 4).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), col("w.n_fp"), col("w.fp_min"), col("w.fp_max"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(kernel.keySet == windowed.keySet,
+      s"doc presence differs: kernel-only ${kernel.keySet -- windowed.keySet}, " +
+        s"window-only ${windowed.keySet -- kernel.keySet}")
+    assert(!kernel.contains(102L) && !kernel.contains(103L),
+      "docs with < 3 tokens must be absent")
+    kernel.foreach { case (id, k) =>
+      assert(k == windowed(id), s"doc $id: kernel $k != windowed ${windowed(id)}")
+    }
+  }
 }

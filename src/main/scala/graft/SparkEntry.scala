@@ -292,9 +292,10 @@ object SparkEntry {
       .withColumn("n", size(col("ws")).cast("double"))
       .withColumn("avg_wlen",
         (length(col("text")) - size(col("ws")) + 1).cast("double") / col("n"))
+      // Codegen'd CountInSet kernel (exact isin/filter semantics) instead
+      // of the interpreted size(filter(ws, isin)) higher-order pair.
       .withColumn("stop_ratio",
-        size(filter(col("ws"), w => w.isin(Stopwords.map(lit(_)): _*)))
-          .cast("double") / col("n"))
+        gf.count_in(col("ws"), Stopwords).cast("double") / col("n"))
       .groupBy(col("source"))
       .agg(round(avg(col("avg_wlen")), 4).as("avg_word_len"),
         round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"))),
@@ -303,9 +304,11 @@ object SparkEntry {
     // tie-break by marker order; "und" = no votes).
     "q25_langid" -> ((s, d) => {
       val docs = ld(s, d, "documents").withColumn("ws", split(col("text"), " "))
+      // Codegen'd CountInSet kernel per language (exact isin/filter
+      // semantics) — the composed form paid 5 interpreted filter() passes
+      // with a boxed isin chain per token.
       val scored = LangMarkers.foldLeft(docs) { case (df, (lang, ms)) =>
-        df.withColumn(s"sc_$lang",
-          size(filter(col("ws"), w => w.isin(ms.map(lit(_)): _*))).cast("long"))
+        df.withColumn(s"sc_$lang", gf.count_in(col("ws"), ms).cast("long"))
       }
       val best = LangMarkers.map(_._1).foldLeft((lit("und"), lit(0L))) {
         case ((bl, bs), lang) =>

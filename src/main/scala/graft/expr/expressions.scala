@@ -374,6 +374,36 @@ case class WinnowFp(child: Expression, shingle: Int, window: Int)
     copy(child = c)
 }
 
+/**
+ * Count of array elements contained in a small driver-held string set —
+ * q24's stopword counter and q25's per-language marker votes. Replaces the
+ * interpreted `size(filter(arr, w => w.isin(...)))` higher-order pair (one
+ * boxed lambda + an isin chain per element, plus a materialized filtered
+ * array) with one codegen'd hash-probe loop. Exact semantics of the
+ * composed form: NULL array -> NULL (size(filter(NULL)) was NULL), NULL
+ * elements never match (isin yields NULL, filter drops), result is an INT
+ * like `size`. Membership is UTF8String equality — identical to isin's.
+ */
+case class CountInSet(child: Expression, values: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    values.foreach(v =>
+      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+    s
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.countInSet(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("cset", set, classOf[java.util.HashSet[_]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprOps.countInSet($c, $s)")
+  }
+  override protected def withNewChildInternal(c: Expression): CountInSet =
+    copy(child = c)
+}
+
 /** Static helpers referenced from generated code. */
 object ExprOps {
   /** Bucket of `v` given ascending boundaries: the count of bounds <= v. */
@@ -525,6 +555,20 @@ object ExprOps {
     dot / (math.sqrt(na) * qNorm)
   }
 
+  /** See [[CountInSet]]: null elements never match (the composed isin
+    * yielded NULL there and filter dropped the element). */
+  def countInSet(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      set: java.util.HashSet[_]): Int = {
+    var n = 0
+    var i = 0
+    val len = v.numElements()
+    while (i < len) {
+      if (!v.isNullAt(i) && set.contains(v.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
   private val md5Digest =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
@@ -666,6 +710,10 @@ object functions {
     * (see [[WinnowFp]]). */
   def winnow_fp(text: Column, shingle: Int, window: Int): Column =
     c(WinnowFp(e(text), shingle, window))
+  /** Codegen'd count of array elements in a literal string set
+    * (see [[CountInSet]]). */
+  def count_in(arr: Column, values: Seq[String]): Column =
+    c(CountInSet(e(arr), values))
 
   /** Hamming distance between two phash values — composed from built-ins
     * (stays fully codegen'd). */

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.expr.{functions => gf}
 import graft.lineage.{Lineage, Metrics, UnitLineage}
 import graft.operators.KMeans
-import graft.table.{DataFileMeta, EqLong, GraftTable, MetaIO, PartitionSpec}
+import graft.table.{DataFileMeta, GraftTable, InLong, MetaIO, PartitionSpec}
 
 /**
  * IVF ANN index BUILD as a lakehouse table-maintenance job — the batch
@@ -24,8 +24,16 @@ import graft.table.{DataFileMeta, EqLong, GraftTable, MetaIO, PartitionSpec}
  * so a probe is a manifest-pruned scan that opens only its bucket's files
  * (~nprobe/k of the table); the centroids (k x dims fixed-point longs)
  * travel in TABLE PROPERTIES, making the index self-describing and
- * snapshot-versioned with its data — a rebuild is just a new snapshot, and
- * time travel applies to the index like any other table.
+ * snapshot-versioned with its data, and time travel applies to the index
+ * like any other table. RETRAIN CONTRACT: a re-run against a committed
+ * index with different parameters (or different data) REFUSES
+ * ([[preTrainingGuard]]/[[attachTable]]) — retraining today means delete
+ * and rebuild; [[append]] extends the lists under the FROZEN stored
+ * quantizer. Note the job identity is the parameter signature plus the
+ * input FILE LIST: identical root+params+files is treated as the same
+ * completed job (the COMMITTED marker short-circuits), so a non-file
+ * source whose contents changed, or the same files re-filtered through a
+ * different DataFrame transformation, must use a fresh root.
  *
  * Scale design (round 6):
  *  - SALTED SUB-BUCKET routing: bucket i gets m_i = ceil(estBytes_i /
@@ -356,8 +364,15 @@ object BuildIvf {
       case Right(tbl) => tbl
     }
 
-    val metas = srcFiles.map(p =>
-      DataFileMeta(p, Files.size(Paths.get(p)), 0L, Map.empty))
+    // Strip a file: URI scheme before the size lookup — DataFrame
+    // .inputFiles returns file:/... paths that spark.read accepts but
+    // java.nio Paths.get would reject; non-local schemes still fail loudly
+    // (the FFD packing needs real local sizes).
+    val metas = srcFiles.map { p =>
+      val local = if (p.startsWith("file:")) Paths.get(java.net.URI.create(p))
+        else Paths.get(p)
+      DataFileMeta(p, Files.size(local), 0L, Map.empty)
+    }
     val totalBytes = math.max(1L, metas.map(_.fileSizeBytes).sum)
     val groups = Cluster.packGroups(metas, math.max(targetBytes, k.toLong * targetBytes))
     // Per-unit sub-bucket counts: the global cluster-size profile scaled
@@ -445,8 +460,10 @@ object BuildIvf {
 
   /** nprobe-pruned cosine top-k over the index table. Probe lists are
     * picked DRIVER-side against the property centroids (k distances — no
-    * job); the scan unions one manifest-pruned branch per probed bucket, so
-    * only ~nprobe/k of the table's files are opened. */
+    * job); ONE manifest-pruned scan with an InLong membership filter opens
+    * only the probed buckets' files (~nprobe/k of the table) — the earlier
+    * per-bucket scanWhere union planned nprobe separate parquet scans,
+    * fine at nprobe=2 but nprobe plan nodes at nprobe=64. */
   def probe(t: GraftTable, query: Array[Double], nprobe: Int,
       topK: Int): DataFrame = {
     val cents = centroidsOf(t)
@@ -470,9 +487,7 @@ object BuildIvf {
         (d, cid)
       }
       .sorted.take(math.max(1, nprobe)).map(_._2)
-    val scanned = probes
-      .map(cid => t.scanWhere(Seq(EqLong("bucket", cid))))
-      .reduce(_ unionByName _)
+    val scanned = t.scanWhere(Seq(InLong("bucket", probes)))
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     scanned
       // One codegen'd pass per row (dot + norm together, expr.CosineSim) —

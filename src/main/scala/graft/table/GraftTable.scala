@@ -19,6 +19,10 @@ import org.apache.spark.sql.types._
 sealed trait PruneFilter { def col: String }
 case class EqString(col: String, v: String) extends PruneFilter
 case class EqLong(col: String, v: Long) extends PruneFilter
+/** Membership in a (small, driver-held) long set — one scan plan for a
+  * multi-value lookup such as the IVF probe's nprobe buckets, instead of
+  * one scanWhere branch per value unioned (nprobe parquet scan nodes). */
+case class InLong(col: String, vs: Seq[Long]) extends PruneFilter
 case class RangeLong(col: String, lo: Long, hi: Long) extends PruneFilter
 case class RangeString(col: String, lo: String, hi: String) extends PruneFilter
 case class GeString(col: String, lo: String) extends PruneFilter
@@ -67,6 +71,7 @@ object PruneFilter {
   def toColumn(f: PruneFilter): Column = f match {
     case EqString(c, v)       => col(c) === lit(v)
     case EqLong(c, v)         => col(c) === lit(v)
+    case InLong(c, vs)        => col(c).isin(vs.map(Long.box): _*)
     case RangeLong(c, l, h)   => col(c) >= lit(l) && col(c) <= lit(h)
     case RangeString(c, l, h) => col(c) >= lit(l) && col(c) <= lit(h)
     case GeString(c, l)       => col(c) >= lit(l)
@@ -94,6 +99,8 @@ object PruneFilter {
           f match {
             case EqString(_, v)       => mn.forall(leq(_, v)) && mx.forall(geq(_, v))
             case EqLong(_, v)         => mn.forall(_.toLong <= v) && mx.forall(_.toLong >= v)
+            case InLong(_, vs)        =>
+              vs.exists(v => mn.forall(_.toLong <= v) && mx.forall(_.toLong >= v))
             case RangeLong(_, l, h)   => mn.forall(_.toLong <= h) && mx.forall(_.toLong >= l)
             case RangeString(_, l, h) => mn.forall(leq(_, h)) && mx.forall(geq(_, l))
             case GeString(_, l)       => mx.forall(geq(_, l))

@@ -108,6 +108,10 @@ object PartitionSpec {
     f match {
       case EqString(_, v) => applyTransform(spec, v).forall(_ == pv)
       case EqLong(_, v) => applyTransform(spec, v.toString).forall(_ == pv)
+      // Membership: keep the manifest iff ANY candidate lands in pv (a
+      // value whose transform is undefined conservatively keeps).
+      case InLong(_, vs) =>
+        vs.exists(v => applyTransform(spec, v.toString).forall(_ == pv))
       // String ranges/bounds prune only under identity (a truncate[N] value
       // stands for a numeric interval, where lexicographic bounds are
       // unsound). Comparisons in UTF-8 byte order — same as the scan-side

@@ -191,6 +191,26 @@ class ExprKernelsSpec extends GraftSuite {
     }
   }
 
+  test("count_in equals size(filter(arr, isin)) including null elements and null arrays") {
+    import spark.implicits._
+    val terms = Seq("the", "a", "to", "of")
+    val rows: Seq[Option[Seq[Option[String]]]] = Seq(
+      Some(Seq(Some("the"), Some("fox"), Some("a"), Some("the"))), // dups count
+      Some(Seq(Some("x"), None, Some("of"))),                      // null element
+      Some(Seq.empty[Option[String]]),                             // empty array
+      None)                                                        // null array
+    val df = rows.map(Tuple1(_)).toDF("ws")
+    val composed = size(filter(col("ws"), w => w.isin(terms.map(lit(_)): _*)))
+    val got = df.select(gf.count_in(col("ws"), terms).as("k"), composed.as("c"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null parity: $r")
+      if (!r.isNullAt(0)) assert(r.getInt(0) == r.getInt(1), s"count: $r")
+    }
+    assert(got(0).getInt(0) == 3 && got(1).getInt(0) == 1 &&
+      got(2).getInt(0) == 0 && got(3).isNullAt(0))
+  }
+
   test("winnow_fp equals the window-function winnowing formulation, including edge docs") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

@@ -270,4 +270,37 @@ class IvfIndexSpec extends GraftSuite {
     assert(two.map(_.getLong(1)).distinct.length == 2)
     assert(two.length == 120, "two inverted lists = 120 of 180 vectors")
   }
+
+  test("probe: multi-bucket probe is ONE InLong-pruned scan, not a per-bucket union") {
+    val root = TestFixtures.workRoot.resolve("ivf-probe-inlong").toString
+    val df = fixture(4)
+    val r = BuildIvf.run(spark, df, "vec_id", "embedding", root,
+      initIds = Seq(1L, 61L, 121L))
+    val t = r.table
+    // File-level: the membership filter plans exactly the union of the
+    // per-bucket plans (same pruning, one filter).
+    val perBucket = Seq(1L, 61L).map(c =>
+      t.planFiles(Seq(graft.table.EqLong("bucket", c))).map(_.path).toSet)
+    val union = perBucket.reduce(_ ++ _)
+    val inPlan = t.planFiles(
+      Seq(graft.table.InLong("bucket", Seq(1L, 61L)))).map(_.path).toSet
+    assert(inPlan == union,
+      s"InLong must plan the union of per-bucket files: $inPlan vs $union")
+    assert(inPlan.size < t.currentFiles.size, "and still prune the third bucket")
+    // Plan-level: the probe DataFrame holds exactly one parquet scan node
+    // (nprobe branches used to union nprobe separate scans).
+    val probeDf = BuildIvf.probe(t, Array(7.0, 7.0, 0.0, 0.0), nprobe = 2,
+      topK = 200)
+    val scans = probeDf.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"probe must plan one scan, found ${scans.size}")
+    // And the results are the same rows the per-bucket union produced.
+    val got = probeDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = Seq(1L, 61L).flatMap(c =>
+      t.scanWhere(Seq(graft.table.EqLong("bucket", c)))
+        .select("vec_id", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))).toSet
+    assert(got == ref, "single-scan probe rows must equal the per-bucket union")
+  }
 }

@@ -206,13 +206,17 @@ object SparkEntry {
       .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))),
 
     // MinHash signatures (training-data dedup; shingle=word, 4 hashes).
+    // Per-document computation, so the signature pass is ONE codegen'd
+    // kernel over the text (expr.MinHashHex) — the explode+groupBy form
+    // paid a corpus-wide exchange AND Sort + SortAggregate on both sides
+    // (Spark cannot hash-aggregate a string-valued min buffer). The
+    // isNotNull filter replicates the generator's zero-rows-on-null-text;
+    // kernel == explode form pinned by ExprKernelsSpec, oracle unchanged.
     "q17_minhash" -> ((s, d) => ld(s, d, "documents")
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(min(md5(concat(col("w"), lit("0")))).as("mh0"),
-        min(md5(concat(col("w"), lit("1")))).as("mh1"),
-        min(md5(concat(col("w"), lit("2")))).as("mh2"),
-        min(md5(concat(col("w"), lit("3")))).as("mh3"))),
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), gf.minhash_hex(col("text"), 4).as("m"))
+      .select(col("doc_id"), col("m.mh0").as("mh0"), col("m.mh1").as("mh1"),
+        col("m.mh2").as("mh2"), col("m.mh3").as("mh3"))),
 
     // MinHash LSH banding: collision-bucket histogram per band. Single-pass
     // unpivot (stack) of the signature aggregation — the per-band-union form
@@ -240,14 +244,19 @@ object SparkEntry {
             size(array_union(col("wa"), col("wb"))), 4).as("jaccard"))
     }),
 
-    // SimHash (16-bit, hex-digit-parity bits of md5(word)).
+    // SimHash (16-bit, hex-digit-parity bits of md5(word)). The per-word
+    // +-1 parity vector is one codegen'd kernel (expr.Md5ParityVec: md5
+    // once, 16 chars read in one pass) instead of md5 + 16 per-bit
+    // substring/ascii evaluations per row; the per-bit SUMs read plain
+    // element_at ints, so the aggregation stays a long-buffer
+    // HashAggregate. Exact-arithmetic swap (integer sums), oracle
+    // unchanged, kernel == composed form pinned by ExprKernelsSpec.
     "q20_simhash" -> ((s, d) => {
       val words = ld(s, d, "documents")
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-        .withColumn("h", md5(col("w")))
+        .withColumn("pv", gf.md5_parity_vec(col("w"), 16))
       val bitSums = (0 until 16).map(b =>
-        sum(when(ascii(substring(col("h"), b + 1, 1)) % 2 === 1, 1).otherwise(-1))
-          .as(s"s$b"))
+        sum(element_at(col("pv"), b + 1)).as(s"s$b"))
       val agg = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       val sim = (0 until 16).map(b =>
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)

@@ -404,6 +404,61 @@ case class CountInSet(child: Expression, values: Seq[String])
     copy(child = c)
 }
 
+/**
+ * Per-document MinHash signature (q17/q18's signature pass) as ONE
+ * codegen'd pass over the text: words -> `n` salted md5 hashes per word ->
+ * per-salt minimum, returned as a struct of hex strings (mh0..mh{n-1}).
+ *
+ * Like [[WinnowFp]], a pure per-document computation: the relational form
+ * exploded every word and aggregated min(md5 string) per doc — and Spark
+ * cannot HASH-aggregate a string-valued min buffer, so the whole corpus
+ * paid Sort + SortAggregate on both sides of the exchange. The kernel is
+ * map-side only: zero exchanges at any corpus size.
+ *
+ * SEMANTICS CONTRACT (ExprKernelsSpec pins it against the explode+groupBy
+ * form; the DuckDB oracle replays that form independently): words =
+ * String.split(" ", -1) (identical to Spark's split); hash i of word w =
+ * md5 hex of UTF-8(w + i); minima compare in UTF8String byte order (hex
+ * is ASCII, so String order agrees); the original form's array_distinct
+ * is a no-op under min. NULL text never reaches the kernel in q17 (the
+ * query filters it, replicating the generator's zero-rows-on-null).
+ * Deterministic=false only to keep the optimizer from duplicating the
+ * kernel per struct-field reference (guide §4.4); the function is pure.
+ */
+case class MinHashHex(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 16, s"n out of range: $n")
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType =
+    StructType((0 until n).map(i => StructField(s"mh$i", StringType)))
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.minHashHex(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprOps.minHashHex($c, $n)")
+  override protected def withNewChildInternal(c: Expression): MinHashHex =
+    copy(child = c)
+}
+
+/**
+ * md5-hex-parity contribution vector for the SimHash pass (q20): for the
+ * row's word, array<int> of length `bits` where element b is +1 if the
+ * (b+1)-th hex char of md5(word) has odd ASCII code, else -1 — exactly
+ * the composed `when(ascii(substring(md5(w), b+1, 1)) % 2 = 1, 1, -1)`
+ * per bit, which paid one md5 plus 16 substring allocations + ascii calls
+ * per row; this computes md5 once and reads the 16 chars in one pass
+ * (the per-bit SUMs then read codegen'd element_at on the int array).
+ */
+case class Md5ParityVec(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 32, s"bits out of range: $bits")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.md5ParityVec(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprOps.md5ParityVec($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): Md5ParityVec =
+    copy(child = c)
+}
+
 /** Static helpers referenced from generated code. */
 object ExprOps {
   /** Bucket of `v` given ascending boundaries: the count of bounds <= v. */
@@ -590,6 +645,41 @@ object ExprOps {
     new String(out)
   }
 
+  /** See [[MinHashHex]]: per-salt minimum of md5(word + salt) hex over the
+    * doc's words, String order (== UTF8String order on ASCII hex). */
+  def minHashHex(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val mins = new Array[String](n)
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      var i = 0
+      while (i < n) {
+        val h = md5Hex(w + i)
+        if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+        i += 1
+      }
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      mins.toIndexedSeq.map(org.apache.spark.unsafe.types.UTF8String.fromString))
+  }
+
+  /** See [[Md5ParityVec]]: +1/-1 per hex-char ASCII parity of md5(word).
+    * Hex chars are ASCII, so (char & 1) == ascii(char) % 2. */
+  def md5ParityVec(w: org.apache.spark.unsafe.types.UTF8String,
+      bits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h = md5Hex(w.toString)
+    val out = new Array[Int](bits)
+    var b = 0
+    while (b < bits) {
+      out(b) = if ((h.charAt(b) & 1) == 1) 1 else -1
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** See [[WinnowFp]]. Returns null when the doc has fewer than `shingle`
     * tokens (no shingles — the window form emitted no rows). */
   def winnowFp(text: org.apache.spark.unsafe.types.UTF8String,
@@ -714,6 +804,11 @@ object functions {
     * (see [[CountInSet]]). */
   def count_in(arr: Column, values: Seq[String]): Column =
     c(CountInSet(e(arr), values))
+  /** Codegen'd per-document MinHash signature (see [[MinHashHex]]). */
+  def minhash_hex(text: Column, n: Int): Column = c(MinHashHex(e(text), n))
+  /** Codegen'd md5-hex-parity +-1 vector (see [[Md5ParityVec]]). */
+  def md5_parity_vec(word: Column, bits: Int): Column =
+    c(Md5ParityVec(e(word), bits))
 
   /** Hamming distance between two phash values — composed from built-ins
     * (stays fully codegen'd). */

@@ -211,6 +211,50 @@ class ExprKernelsSpec extends GraftSuite {
       got(2).getInt(0) == 0 && got(3).isNullAt(0))
   }
 
+  test("minhash_hex equals the explode+groupBy min(md5) formulation") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "", "Zz")
+    val docs = ((1 to 30).map { i =>
+      val n = 1 + (i * 11) % 25
+      (i.toLong, (0 until n).map(j => words((i * 5 + j * 3) % words.size)).mkString(" "))
+    } ++ Seq((101L, ""), (102L, "solo"))).toDF("doc_id", "text")
+    val composed = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(concat(col("w"), lit("0")))).as("mh0"),
+        min(md5(concat(col("w"), lit("1")))).as("mh1"),
+        min(md5(concat(col("w"), lit("2")))).as("mh2"),
+        min(md5(concat(col("w"), lit("3")))).as("mh3"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    val kernel = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), gf.minhash_hex(col("text"), 4).as("m"))
+      .select(col("doc_id"), col("m.mh0"), col("m.mh1"), col("m.mh2"), col("m.mh3"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(kernel.keySet == composed.keySet)
+    kernel.foreach { case (id, k) =>
+      assert(k == composed(id), s"doc $id: $k != ${composed(id)}")
+    }
+  }
+
+  test("md5_parity_vec equals the per-bit ascii(substring(md5)) parity terms") {
+    import spark.implicits._
+    val df = Seq("alpha", "beta", "", "Zz9", "the quick", "ümlaut")
+      .map(Tuple1(_)).toDF("w").withColumn("h", md5(col("w")))
+    val composedCols = (0 until 16).map(b =>
+      when(ascii(substring(col("h"), b + 1, 1)) % 2 === 1, 1).otherwise(-1)
+        .as(s"c$b"))
+    val rows = df.select(
+      (gf.md5_parity_vec(col("w"), 16).as("pv") +: composedCols): _*).collect()
+    rows.foreach { r =>
+      val pv = r.getSeq[Int](0)
+      (0 until 16).foreach(b =>
+        assert(pv(b) == r.getInt(b + 1), s"bit $b of ${r}"))
+    }
+  }
+
   test("winnow_fp equals the window-function winnowing formulation, including edge docs") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

@@ -329,9 +329,14 @@ object SparkEntry {
     }),
 
     // Document fingerprint: canonicalized (sorted distinct words) hash.
+    // The sort/distinct/join runs as one codegen'd CanonText kernel —
+    // array_sort is a higher-order function whose comparator is
+    // interpreted per comparison. coalesce("") replicates concat_ws's
+    // null-skip for null text; ordering is Utf8Ord (== array_sort's
+    // UTF8String order). Kernel pinned by ExprKernelsSpec, oracle
+    // unchanged.
     "q26_fingerprint" -> ((s, d) => ld(s, d, "documents")
-      .withColumn("fp", md5(concat_ws(" ",
-        array_sort(array_distinct(split(col("text"), " "))))))
+      .withColumn("fp", md5(coalesce(gf.canon_text(col("text")), lit(""))))
       .groupBy(col("lang"))
       .agg(countDistinct(col("fp")).as("n_unique"), count(lit(1)).as("n_docs"))),
 

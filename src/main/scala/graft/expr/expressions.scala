@@ -459,6 +459,29 @@ case class Md5ParityVec(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/**
+ * Canonicalized text for exact-dedup fingerprints (q26): DISTINCT words
+ * sorted in UTF8String byte order, space-joined — the input to the md5
+ * content fingerprint. The composed `array_sort(array_distinct(split))`
+ * runs array_sort as a higher-order function whose comparator lambda is
+ * INTERPRETED per comparison (~n log n boxed evaluations per document);
+ * this kernel is one pass + one primitive sort. Ordering goes through
+ * [[graft.table.Utf8Ord]] — the engine's pinned sign-identical twin of
+ * UTF8String.compareTo (Java String order would diverge on
+ * supplementary-plane code points). NULL text null-propagates; the query
+ * wraps the kernel in coalesce(.., "") to replicate concat_ws's
+ * null-skipping before md5. ExprKernelsSpec pins kernel == composed form.
+ */
+case class CanonText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.canonText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprOps.canonText($c)")
+  override protected def withNewChildInternal(c: Expression): CanonText =
+    copy(child = c)
+}
+
 /** Static helpers referenced from generated code. */
 object ExprOps {
   /** Bucket of `v` given ascending boundaries: the count of bounds <= v. */
@@ -666,6 +689,23 @@ object ExprOps {
       mins.toIndexedSeq.map(org.apache.spark.unsafe.types.UTF8String.fromString))
   }
 
+  /** See [[CanonText]]: distinct words, Utf8Ord-sorted, space-joined. */
+  def canonText(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val toks = text.toString.split(" ", -1)
+    val set = new java.util.HashSet[String]()
+    val distinct = new java.util.ArrayList[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (set.add(toks(i))) distinct.add(toks(i))
+      i += 1
+    }
+    distinct.sort((a: String, b: String) =>
+      Integer.signum(graft.table.Utf8Ord.cmp(a, b)))
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      String.join(" ", distinct))
+  }
+
   /** See [[Md5ParityVec]]: +1/-1 per hex-char ASCII parity of md5(word).
     * Hex chars are ASCII, so (char & 1) == ascii(char) % 2. */
   def md5ParityVec(w: org.apache.spark.unsafe.types.UTF8String,
@@ -809,6 +849,8 @@ object functions {
   /** Codegen'd md5-hex-parity +-1 vector (see [[Md5ParityVec]]). */
   def md5_parity_vec(word: Column, bits: Int): Column =
     c(Md5ParityVec(e(word), bits))
+  /** Codegen'd sorted-distinct-words canonical text (see [[CanonText]]). */
+  def canon_text(text: Column): Column = c(CanonText(e(text)))
 
   /** Hamming distance between two phash values — composed from built-ins
     * (stays fully codegen'd). */

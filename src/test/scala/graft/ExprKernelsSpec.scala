@@ -255,6 +255,21 @@ class ExprKernelsSpec extends GraftSuite {
     }
   }
 
+  test("canon_text equals md5(concat_ws(array_sort(array_distinct(split)))) incl. null text") {
+    import spark.implicits._
+    val texts: Seq[Option[String]] = Seq(
+      Some("the quick the fox a  a"), // dup words + empty token (double space)
+      Some(""), Some("z y x w"), Some("one"), None,
+      Some("café über z 😀 a")) // non-ASCII + supplementary plane
+    val df = texts.map(Tuple1(_)).toDF("text")
+    val composed = md5(concat_ws(" ",
+      array_sort(array_distinct(split(col("text"), " ")))))
+    val kernel = md5(coalesce(gf.canon_text(col("text")), lit("")))
+    df.select(kernel.as("k"), composed.as("c")).collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"$r")
+    }
+  }
+
   test("winnow_fp equals the window-function winnowing formulation, including edge docs") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

@@ -434,12 +434,18 @@ object SparkEntry {
       }
       val probes = cents.map { case (cid, cv) => (cid, cosArr(qv, cv)) }
         .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1)
-      // argmax centroid via struct-max: (sim, -cid) ties break to smaller cid.
-      val best = array_max(array(cents.toIndexedSeq.map { case (cid, cv) =>
-        struct(cosLit(col("embedding"), cv, 6).as("sim"), lit(-cid).as("ncid"))
-      }: _*))
+      // Argmax centroid as ONE fused kernel (expr.NearestCosineCid): same
+      // rounded-cosine argmax with the (sim desc, cid asc) tie-break as
+      // the earlier array_max-over-structs, but the row norm is computed
+      // once instead of once per centroid, and the kernel's
+      // deterministic=false keeps the probe filter from duplicating the
+      // whole assignment below itself (guide §4.4). ExprKernelsSpec pins
+      // kernel == struct-max incl. the -0.0 tie case; oracle unchanged.
+      val withNorm = cents.map { case (cid, cv) =>
+        (cid, cv, math.sqrt(cv.map(x => x * x).sum)) }
       e.filter(col("vec_id") =!= 0)
-        .withColumn("bucket", -best.getField("ncid"))
+        .withColumn("bucket",
+          gf.nearest_cosine_cid(col("embedding"), withNorm.toIndexedSeq, 6))
         .filter(col("bucket").isin(probes.toIndexedSeq.map(Long.box): _*))
         .withColumn("cos", cosLit(col("embedding"), qv, 4))
         .orderBy(col("cos").desc, col("vec_id").asc).limit(10)

@@ -482,6 +482,47 @@ case class CanonText(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/**
+ * Nearest-centroid-by-COSINE bucket id for q34's IVF assignment: argmax
+ * over centroids of round(cosine(v, c), `scale`), ties to the smaller cid
+ * — bit-exact to the composed
+ * `-array_max(array(struct(round(cosLit(..)), -cid)...)).ncid` form:
+ * per-centroid sims use [[CosineSimLit]] arithmetic (double dot products,
+ * FLOAT-precision row-norm squares), rounding replicates Spark's
+ * Round-on-double (BigDecimal.valueOf + HALF_UP; NaN/Inf pass through),
+ * and comparisons use the same total double order (NaN greatest,
+ * -0.0 < 0.0). On top of removing 2k interpreted higher-order traversals
+ * per row, the row norm is computed ONCE instead of once per centroid.
+ *
+ * deterministic=false for the §4.4 reason only (the probe filter
+ * otherwise duplicates the whole argmax below itself); pure function.
+ */
+case class NearestCosineCid(child: Expression, cids: Array[Long],
+    cents: Array[Array[Double]], norms: Array[Double], scale: Int)
+    extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"nearest_cosine_cid expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.nearestCosineCid(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat, cids, cents, norms, scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ci = ctx.addReferenceObj("cids", cids, "long[]")
+    val ce = ctx.addReferenceObj("cents", cents, "double[][]")
+    val no = ctx.addReferenceObj("norms", norms, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expr.ExprOps.nearestCosineCid($v, $isFloat, $ci, $ce, $no, $scale)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCosineCid =
+    copy(child = c)
+}
+
 /** Static helpers referenced from generated code. */
 object ExprOps {
   /** Bucket of `v` given ascending boundaries: the count of bounds <= v. */
@@ -689,6 +730,64 @@ object ExprOps {
       mins.toIndexedSeq.map(org.apache.spark.unsafe.types.UTF8String.fromString))
   }
 
+  /** Spark's Round(double, scale) HALF_UP, NaN/Inf passed through — the
+    * exact codegen'd arithmetic of the builtin. */
+  private def roundDouble(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** See [[NearestCosineCid]]. One row-norm pass + one dot per centroid. */
+  def nearestCosineCid(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean, cids: Array[Long], cents: Array[Array[Double]],
+      norms: Array[Double], scale: Int): Long = {
+    requireDense(v)
+    val n = v.numElements()
+    // Row norm: float-precision squares widened into an ascending double
+    // fold — identical to each CosineSimLit call's own accumulation.
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      if (isFloat) { val x = v.getFloat(i); na += (x * x) }
+      else { val x = v.getDouble(i); na += x * x }
+      i += 1
+    }
+    val sna = math.sqrt(na)
+    var bestSim = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var first = true
+    var c = 0
+    while (c < cents.length) {
+      val q = cents(c)
+      if (q.length != n)
+        throw new IllegalArgumentException(
+          s"nearest_cosine_cid: vector has $n dims, centroid has ${q.length}")
+      var dot = 0.0
+      i = 0
+      while (i < n) {
+        dot += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * q(i)
+        i += 1
+      }
+      val sim = roundDouble(dot / (sna * norms(c)), scale)
+      // Spark's double ordering (nan-safe: NaN greatest, but -0.0 == 0.0
+      // via primitive equality — NOT Double.compare, which would break the
+      // tie-break when one sim rounds to -0.0 and another to +0.0); ties
+      // take the smaller cid, like the composed struct-max's -cid field.
+      val simNaN = java.lang.Double.isNaN(sim)
+      val bestNaN = java.lang.Double.isNaN(bestSim)
+      val cmp =
+        if ((simNaN && bestNaN) || sim == bestSim) 0
+        else if (simNaN) 1
+        else if (bestNaN) -1
+        else if (sim > bestSim) 1 else -1
+      if (first || cmp > 0 || (cmp == 0 && cids(c) < bestCid)) {
+        bestSim = sim; bestCid = cids(c); first = false
+      }
+      c += 1
+    }
+    bestCid
+  }
+
   /** See [[CanonText]]: distinct words, Utf8Ord-sorted, space-joined. */
   def canonText(text: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
@@ -851,6 +950,12 @@ object functions {
     c(Md5ParityVec(e(word), bits))
   /** Codegen'd sorted-distinct-words canonical text (see [[CanonText]]). */
   def canon_text(text: Column): Column = c(CanonText(e(text)))
+  /** Codegen'd argmax-cosine centroid assignment (see [[NearestCosineCid]]).
+    * `cents` = (cid, components, precomputed norm) ascending by cid. */
+  def nearest_cosine_cid(vec: Column,
+      cents: Seq[(Long, Array[Double], Double)], scale: Int): Column =
+    c(NearestCosineCid(e(vec), cents.map(_._1).toArray,
+      cents.map(_._2).toArray, cents.map(_._3).toArray, scale))
 
   /** Hamming distance between two phash values — composed from built-ins
     * (stays fully codegen'd). */

@@ -255,6 +255,32 @@ class ExprKernelsSpec extends GraftSuite {
     }
   }
 
+  test("nearest_cosine_cid equals the rounded-cosine struct-max form, incl. -0.0/+0.0 ties") {
+    import spark.implicits._
+    val dims = 17
+    val cents: Seq[(Long, Array[Double])] = (1L to 5L).map { c =>
+      (c, (0 until dims).map(d => ((c * 13 + d * 7) % 21 - 10) / 9.0).toArray)
+    }
+    // Pseudo vectors plus near-orthogonal rows whose rounded sims land on
+    // +-0.0 for some centroids (the tie case where Double.compare and
+    // Spark's nan-safe ordering disagree).
+    val base = pseudoVecs(48, dims).map(_._2)
+    val tiny = (1 to 16).map(i => (0 until dims).map(d =>
+      (if ((i + d) % 2 == 0) 1e-9f else -1e-9f) * ((d % 3) + 1)))
+    val df = (base ++ tiny).map(Tuple1(_)).toDF("vf")
+    def cosLit(cv: Array[Double]) = round(
+      gf.cosine_sim_lit(col("vf"), cv, math.sqrt(cv.map(x => x * x).sum)), 6)
+    val composed = -array_max(array(cents.toIndexedSeq.map { case (cid, cv) =>
+      struct(cosLit(cv).as("sim"), lit(-cid).as("ncid"))
+    }: _*)).getField("ncid")
+    val withNorm = cents.map { case (cid, cv) =>
+      (cid, cv, math.sqrt(cv.map(x => x * x).sum)) }
+    val rows = df.select(
+      gf.nearest_cosine_cid(col("vf"), withNorm, 6).as("k"),
+      composed.as("c")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("canon_text equals md5(concat_ws(array_sort(array_distinct(split)))) incl. null text") {
     import spark.implicits._
     val texts: Seq[Option[String]] = Seq(

@@ -17,6 +17,7 @@ object PlanDump {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
+    var failed = 0
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
@@ -28,9 +29,13 @@ object PlanDump {
         println(s"[plandump] $name ok")
       } catch {
         case e: Throwable =>
+          failed += 1
           System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
       }
     }
     spark.stop()
+    // Nonzero exit on any failure: a silently missing plan file would make
+    // a before/after diff read as "no change" for a broken query.
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -268,7 +268,7 @@ object SparkEntry {
     // three interpreted higher-order traversals (zip_with dot + two
     // aggregate norms; same swap the IVF build measured at 14.7x), with the
     // composed form's float-precision products preserved bit-for-bit
-    // (CosineKernelSpec pins the equivalence, oracle unchanged).
+    // (ExprKernelsSpec pins the equivalence, oracle unchanged).
     "q21_ann_topk" -> ((s, d) => {
       val e = ld(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -492,7 +492,7 @@ object SparkEntry {
     // runs as ONE codegen'd per-row kernel (expr.WinnowFp) — the earlier
     // window-function form exploded every token and paid a corpus-wide
     // Exchange + sort + two Window passes for what is a map-side operation
-    // (guide §8/§2.4; WinnowKernelSpec pins kernel == window form; the
+    // (guide §8/§2.4; ExprKernelsSpec pins kernel == window form; the
     // DuckDB oracle still replays the window formulation independently).
     // Zero exchanges at any corpus size.
     "q36_winnow_fp" -> ((s, d) => ld(s, d, "documents")

@@ -259,8 +259,12 @@ case class CosineSim(child: Expression, q: Array[Double], qNorm: Double)
  * (`aggregate(zip_with(a, b, *))` dot + two `aggregate` norms, one boxed
  * lambda per element); this is one tight loop inside whole-stage codegen.
  *
- * ARITHMETIC CONTRACT (oracle-pinned, CosineKernelSpec): bit-identical to
- * the composed form it replaces. For float arrays the per-element products
+ * ARITHMETIC CONTRACT (oracle-pinned, ExprKernelsSpec): bit-identical to
+ * the composed form it replaces ON DENSE, EQUAL-LENGTH vectors — the only
+ * shape the fixtures and the serving path produce. Malformed input
+ * (ragged lengths, null elements) FAILS LOUDLY per the engine's kernel
+ * convention (requireDense scaladoc), where the composed form silently
+ * yielded a NULL cosine. For float arrays the per-element products
  * x*y and squares x*x are computed AT FLOAT PRECISION (Spark's
  * Multiply(float, float) = float — [[CosineSim]] widens first, which is a
  * DIFFERENT rounding) and then widened into ascending-index IEEE double
@@ -338,7 +342,7 @@ case class CosineSimLit(child: Expression, q: Array[Double], qNorm: Double)
  * does not — winnowing never crosses documents). The kernel keeps the scan
  * map-side only: zero exchanges at ANY corpus size.
  *
- * SEMANTICS CONTRACT (WinnowKernelSpec pins it against the window-function
+ * SEMANTICS CONTRACT (ExprKernelsSpec pins it against the window-function
  * formulation; the DuckDB oracle replays the window form independently):
  *  - tokens = java String.split(" ", -1), identical to Spark's
  *    split(text, " ") (same regex engine, same empty-trailing handling);

@@ -20,13 +20,17 @@ def load_tables(con, sf_dir):
 
 
 def canon(v):
+    # Stringify every value: sorted() would TypeError on a column that
+    # mixes None with values (or ints with strings) across rows.
+    if v is None:
+        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)
     if isinstance(v, list):
-        return tuple(canon(x) for x in v)
-    return v
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
 
 
 def rows_of(cur):
